@@ -1,0 +1,125 @@
+"""Geodesic / planar geometry as native Catalyst column expressions.
+
+Reproduces the scalar geo semantics of the reference (hotosm/osm-merge):
+  - haversine meters        (ref: osm_merge/conflatePOI.py:122-124)
+  - EPSG:4326→3857 project  (ref: osm_merge/conflator.py:477-495,
+                             utilities/tm-splitter.py:88-92)
+  - line slope & inter-line angle gates (ref: osm_merge/conflator.py:361-454,
+                             formula at :406,:424,:429; thresholds :206-207)
+  - ring centroid           (ref: osm_merge/conflatePOI.py:112-113,180-183)
+
+All pure `pyspark.sql.functions` expression trees: they run in whole-stage
+codegen with zero Python, and the identical formulas are emitted as ANSI SQL
+for the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6371008.8  # mean Earth radius (IUGG)
+WEB_MERCATOR_R = 6378137.0  # WGS84 semi-major axis used by EPSG:3857
+
+
+def dlit(x: float) -> str:
+    """Float literal for generated SQL, forced to DOUBLE.
+
+    DuckDB parses plain decimal literals (`0.0015`) as DECIMAL and then does
+    exact decimal arithmetic — which diverges from Spark's IEEE-double math
+    at cell/tile floor boundaries. E-notation literals are DOUBLE in both
+    engines, keeping every generated formula bit-identical to the Catalyst
+    expression it mirrors.
+    """
+    return format(float(x), ".17e")
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in meters. Pure column math — no UDF.
+
+    Same semantics as the reference's haversine(... METERS) call
+    (conflatePOI.py:122-124) and its PostGIS geography ST_Distance pushdowns
+    (conflatePOI.py:76,318,365).
+    """
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2) - F.radians(lat1)
+    dlon = F.radians(lon2) - F.radians(lon1)
+    a = (
+        F.pow(F.sin(dlat / F.lit(2.0)), F.lit(2.0))
+        + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / F.lit(2.0)), F.lit(2.0))
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def haversine_m_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """The exact same formula as ANSI SQL text, runnable by DuckDB (oracle)."""
+    two = dlit(2.0)
+    return (
+        f"{dlit(2.0 * EARTH_RADIUS_M)} * asin(sqrt("
+        f"pow(sin((radians({lat2}) - radians({lat1})) / {two}), {two})"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin((radians({lon2}) - radians({lon1})) / {two}), {two})))"
+    )
+
+
+def mercator_x(lon: Column) -> Column:
+    """EPSG:3857 x in meters (ref projects via pyproj to 3857 for all
+    planar distance work, conflator.py:477-484; tm-splitter.py:88-92)."""
+    return F.lit(WEB_MERCATOR_R) * F.radians(lon)
+
+
+def mercator_y(lat: Column) -> Column:
+    """EPSG:3857 y in meters: R * ln(tan(pi/4 + lat/2))."""
+    import math
+
+    return F.lit(WEB_MERCATOR_R) * F.log(
+        F.tan(F.lit(math.pi / 4.0) + F.radians(lat) / F.lit(2.0))
+    )
+
+
+def mercator_x_sql(lon: str) -> str:
+    return f"{dlit(WEB_MERCATOR_R)} * radians({lon})"
+
+
+def mercator_y_sql(lat: str) -> str:
+    return (
+        f"{dlit(WEB_MERCATOR_R)} * ln(tan(pi() / {dlit(4.0)}"
+        f" + radians({lat}) / {dlit(2.0)}))"
+    )
+
+
+def line_slope(xs: Column, ys: Column) -> Column:
+    """Slope Δy/Δx between a packed linestring's endpoints.
+
+    The reference computes slope between points taken near each end of the
+    line (conflator.py:406: `slope = (y2 - y1) / (x2 - x1)`), with NaN→0.
+    Division by zero → 0.0 (the reference relies on numpy nan handling).
+    """
+    n = F.size(xs)
+    dy = F.element_at(ys, n) - F.element_at(ys, F.lit(1))
+    dx = F.element_at(xs, n) - F.element_at(xs, F.lit(1))
+    return F.when(dx == F.lit(0.0), F.lit(0.0)).otherwise(dy / dx)
+
+
+def angle_between(slope1: Column, slope2: Column) -> Column:
+    """Angle in degrees between two lines given their slopes.
+
+    Reference formula (conflator.py:424,429):
+        angle = degrees(atan((s2 - s1) / (1 + s2*s1))),  NaN→0
+    Gates: |angle| > 20° or |Δslope| > 4.0 rejects a candidate
+    (conflator.py:206-207,215).
+    """
+    denom = F.lit(1.0) + slope1 * slope2
+    raw = F.degrees(F.atan((slope2 - slope1) / denom))
+    return F.when(F.isnan(raw) | denom.eqNullSafe(F.lit(0.0)), F.lit(0.0)).otherwise(raw)
+
+
+def ring_centroid_x(xs: Column) -> Column:
+    """Vertex-average centroid x of a packed ring (ref uses shapely
+    .centroid, conflatePOI.py:112-113; vertex average is the documented
+    approximation — exactness not required by any downstream gate)."""
+    return F.aggregate(xs, F.lit(0.0), lambda acc, v: acc + v) / F.size(xs)
+
+
+def ring_centroid_y(ys: Column) -> Column:
+    return F.aggregate(ys, F.lit(0.0), lambda acc, v: acc + v) / F.size(ys)

@@ -1,0 +1,202 @@
+"""Arrow-vectorized geometry kernels (pandas UDFs) — the only Python in the
+hot path, and only for semantics Catalyst cannot express.
+
+NumPy-only (no shapely/geos on executors). Each kernel is batch-vectorized:
+the Python interpreter is entered once per Arrow batch (10k rows), and the
+inner math is NumPy over either all points (fixed-polygon PIP) or all
+segments of one geometry (per-row loop, vectorized inner).
+
+Reference parity:
+  - ray-cast point-in-polygon  → shapely contains/intersects
+    (osm_merge/geosupport.py:201-224, utilities/osmhighways.py:243-253)
+  - point→polyline distance    → shapely .distance() on EPSG:3857
+    (osm_merge/conflator.py:456-531)
+  - polygon intersection area  → ST_Area(ST_Intersection(...))
+    (osm_merge/conflateBuildings.py:110)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType, DoubleType
+
+
+# ---------------------------------------------------------------------------
+# Ray-cast point-in-polygon
+# ---------------------------------------------------------------------------
+def _raycast(px: np.ndarray, py: np.ndarray, rx: np.ndarray, ry: np.ndarray) -> np.ndarray:
+    """Odd-even ray cast: vector over points, loop over edges.
+
+    Points exactly on an edge follow the half-open convention (stable,
+    deterministic — documented divergence from shapely's boundary handling,
+    irrelevant off-boundary).
+    """
+    inside = np.zeros(px.shape, dtype=bool)
+    n = len(rx)
+    j = n - 1
+    for i in range(n):
+        xi, yi, xj, yj = rx[i], ry[i], rx[j], ry[j]
+        crosses = (yi > py) != (yj > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (xj - xi) * (py - yi) / (yj - yi) + xi
+        inside ^= crosses & (px < xint)
+        j = i
+    return inside
+
+
+def point_in_polygon_udf(ring_x: Sequence[float], ring_y: Sequence[float]):
+    """PIP against ONE fixed polygon (AOI clip, F6/J8).
+
+    The ring is closed over in the UDF (broadcast with the serialized
+    function — tiny), so the hot loop is pure NumPy over the whole Arrow
+    batch of points at once.
+    """
+    rx = np.asarray(ring_x, dtype=np.float64)
+    ry = np.asarray(ring_y, dtype=np.float64)
+    if rx[0] == rx[-1] and ry[0] == ry[-1]:
+        rx, ry = rx[:-1], ry[:-1]
+
+    @pandas_udf(BooleanType())
+    def _pip(px: pd.Series, py: pd.Series) -> pd.Series:
+        return pd.Series(_raycast(px.to_numpy(np.float64), py.to_numpy(np.float64), rx, ry))
+
+    return _pip
+
+
+@pandas_udf(BooleanType())
+def point_in_ring(px: pd.Series, py: pd.Series, rxs: pd.Series, rys: pd.Series) -> pd.Series:
+    """PIP where the polygon varies per row (post-cell-join PIP refine, J8).
+
+    Row loop in Python, edge math in NumPy — candidate pairs after the cell
+    join are already a tiny fraction of the input, so this is off the 100 TB
+    hot path by construction.
+    """
+    out = np.zeros(len(px), dtype=bool)
+    pxv, pyv = px.to_numpy(np.float64), py.to_numpy(np.float64)
+    for i in range(len(px)):
+        rx = np.asarray(rxs.iat[i], dtype=np.float64)
+        ry = np.asarray(rys.iat[i], dtype=np.float64)
+        if len(rx) >= 3:
+            out[i] = _raycast(pxv[i : i + 1], pyv[i : i + 1], rx, ry)[0]
+    return pd.Series(out)
+
+
+def pip_oracle(px: float, py: float, ring: list[tuple[float, float]]) -> bool:
+    """Plain-Python ray cast for tests."""
+    inside = False
+    n = len(ring)
+    j = n - 1
+    for i in range(n):
+        xi, yi = ring[i]
+        xj, yj = ring[j]
+        if (yi > py) != (yj > py):
+            xint = (xj - xi) * (py - yi) / (yj - yi) + xi
+            if px < xint:
+                inside = not inside
+        j = i
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# Point → polyline distance (planar meters; inputs pre-projected to 3857)
+# ---------------------------------------------------------------------------
+def _seg_dist(px: float, py: float, xs: np.ndarray, ys: np.ndarray) -> float:
+    """Min distance from point to each segment of a packed polyline,
+    vectorized over segments (clamped projection onto each segment)."""
+    if len(xs) == 1:
+        return float(np.hypot(px - xs[0], py - ys[0]))
+    ax, ay = xs[:-1], ys[:-1]
+    bx, by = xs[1:], ys[1:]
+    dx, dy = bx - ax, by - ay
+    seg2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - ax) * dx + (py - ay) * dy) / seg2
+    t = np.where(seg2 == 0.0, 0.0, np.clip(t, 0.0, 1.0))
+    cx, cy = ax + t * dx, ay + t * dy
+    return float(np.min(np.hypot(px - cx, py - cy)))
+
+
+@pandas_udf(DoubleType())
+def point_polyline_dist(px: pd.Series, py: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+    """Exact planar point→linestring distance (X2 refine after cell join).
+
+    Matches shapely's Point.distance(LineString) on projected coordinates
+    (conflator.py:500-521). Runs only on cell-join candidates.
+    """
+    out = np.empty(len(px), dtype=np.float64)
+    pxv, pyv = px.to_numpy(np.float64), py.to_numpy(np.float64)
+    for i in range(len(px)):
+        x = np.asarray(xs.iat[i], dtype=np.float64)
+        y = np.asarray(ys.iat[i], dtype=np.float64)
+        out[i] = _seg_dist(pxv[i], pyv[i], x, y) if len(x) else np.inf
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# Polygon ∩ polygon area (Sutherland–Hodgman; clip polygon must be convex)
+# ---------------------------------------------------------------------------
+def _shoelace(xs: np.ndarray, ys: np.ndarray) -> float:
+    return 0.5 * abs(float(np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1))))
+
+
+def _clip_poly(sx: np.ndarray, sy: np.ndarray, cx: np.ndarray, cy: np.ndarray):
+    """Sutherland–Hodgman: clip subject (sx,sy) by CONVEX clip (cx,cy)."""
+    # ensure clip ring is counter-clockwise
+    if (np.dot(cx, np.roll(cy, -1)) - np.dot(cy, np.roll(cx, -1))) < 0:
+        cx, cy = cx[::-1], cy[::-1]
+    ox, oy = list(sx), list(sy)
+    n = len(cx)
+    for i in range(n):
+        ex1, ey1 = cx[i], cy[i]
+        ex2, ey2 = cx[(i + 1) % n], cy[(i + 1) % n]
+        ix, iy = ox, oy
+        ox, oy = [], []
+        m = len(ix)
+        for j in range(m):
+            x1, y1 = ix[j], iy[j]
+            x2, y2 = ix[(j + 1) % m], iy[(j + 1) % m]
+            in1 = (ex2 - ex1) * (y1 - ey1) - (ey2 - ey1) * (x1 - ex1) >= 0
+            in2 = (ex2 - ex1) * (y2 - ey1) - (ey2 - ey1) * (x2 - ex1) >= 0
+            if in1 != in2:
+                d = (ex2 - ex1) * (y2 - y1) - (ey2 - ey1) * (x2 - x1)
+                if d != 0:
+                    t = ((ex2 - ex1) * (y2 - ey1) - (ey2 - ey1) * (x2 - ex1)) / d
+                    ox.append(x2 + t * (x1 - x2))
+                    oy.append(y2 + t * (y1 - y2))
+            if in2:
+                ox.append(x2)
+                oy.append(y2)
+        if not ox:
+            return None
+    return np.asarray(ox), np.asarray(oy)
+
+
+@pandas_udf(DoubleType())
+def polygon_intersection_area(
+    xs1: pd.Series, ys1: pd.Series, xs2: pd.Series, ys2: pd.Series
+) -> pd.Series:
+    """Area of polygon1 ∩ polygon2 (A4; conflateBuildings.py:110).
+
+    Exact when polygon2 (the clip side) is convex — building footprints in
+    the dedupe path; concave clip sides would need a general clipper and are
+    flagged by tests.
+    """
+    out = np.zeros(len(xs1), dtype=np.float64)
+    for i in range(len(xs1)):
+        sx = np.asarray(xs1.iat[i], dtype=np.float64)
+        sy = np.asarray(ys1.iat[i], dtype=np.float64)
+        cx = np.asarray(xs2.iat[i], dtype=np.float64)
+        cy = np.asarray(ys2.iat[i], dtype=np.float64)
+        if len(sx) >= 3 and len(cx) >= 3:
+            if sx[0] == sx[-1] and sy[0] == sy[-1]:
+                sx, sy = sx[:-1], sy[:-1]
+            if cx[0] == cx[-1] and cy[0] == cy[-1]:
+                cx, cy = cx[:-1], cy[:-1]
+            clipped = _clip_poly(sx, sy, cx, cy)
+            if clipped is not None and len(clipped[0]) >= 3:
+                out[i] = _shoelace(clipped[0], clipped[1])
+    return pd.Series(out)
