@@ -1,0 +1,136 @@
+"""Cell-indexed spatial joins (J1/J2/J5 in SURVEY §2.3).
+
+The reference's distance-threshold join is an O(N·M) nested loop with the
+full secondary copied into every worker (conflator.py:134-188, 766-788).
+Spark-first re-expression: encode both sides into grid cells, equi-join on
+the cell key, refine exactly. The physical strategy is chosen per layer:
+
+  - broadcast hash join   — secondary fits executor memory (the reference's
+                            copy-everywhere layout IS a broadcast join);
+  - shuffle hash join     — with *explicit salting of hot cells* (north
+                            rule): without it one dense urban cell becomes
+                            one straggler task at 100 TB.
+
+Candidate generation is a strict superset of the true result (ring-1
+neighbor expansion with cell edge ≥ threshold); exactness comes from the
+refine stage (haversine / point→polyline distance), so the join itself
+never produces false negatives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cells import CellGrid
+
+DEFAULT_SALT = 8
+DEFAULT_HOT_THRESHOLD = 5_000  # rows in one cell before it counts as "hot"
+
+
+def covering_cells(xs: Column, ys: Column, grid: CellGrid) -> Column:
+    """All grid cells a packed polyline/ring passes through (array<long>).
+
+    Segments are densified at half-cell spacing — vertex cells alone would
+    miss cells crossed mid-segment (a 60 m segment spans several 10 m
+    cells). Pure Catalyst: nested sequence/transform, no UDF.
+    """
+    res = grid.res_deg
+
+    def seg_cells(k: Column) -> Column:
+        x1, y1 = F.element_at(xs, k), F.element_at(ys, k)
+        # try_element_at: a 1-point geometry has no k+1 vertex (ANSI mode)
+        x2 = F.coalesce(F.try_element_at(xs, k + 1), x1)
+        y2 = F.coalesce(F.try_element_at(ys, k + 1), y1)
+        span = F.greatest(F.abs(x2 - x1), F.abs(y2 - y1))
+        nsteps = F.greatest(F.ceil(span / F.lit(res / 2.0)), F.lit(1)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), nsteps),
+            lambda j: grid.encode(
+                x1 + (x2 - x1) * (j.cast("double") / nsteps.cast("double")),
+                y1 + (y2 - y1) * (j.cast("double") / nsteps.cast("double")),
+            ),
+        )
+
+    nseg = F.greatest(F.size(xs) - 1, F.lit(1))
+    return F.array_distinct(F.flatten(F.transform(F.sequence(F.lit(1), nseg), seg_cells)))
+
+
+def candidate_pairs(
+    primary: DataFrame,
+    secondary: DataFrame,
+    grid: CellGrid,
+    *,
+    p_lon: str = "lon",
+    p_lat: str = "lat",
+    p_key: str = "image_id",
+    s_key: str = "feature_id",
+    s_xs: str = "xs",
+    s_ys: str = "ys",
+    broadcast_secondary: bool | None = None,
+    n_salt: int = DEFAULT_SALT,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+) -> DataFrame:
+    """Primary points × secondary geometries candidate pairs via cell join.
+
+    Returns primary columns + secondary columns (both sides' payloads), one
+    row per distinct (p_key, s_key) pair whose geometries can possibly be
+    within one cell edge.
+
+    broadcast_secondary=None auto-chooses: try broadcast when the secondary
+    plan is a simple small scan (AQE will demote if oversized); True/False
+    forces. The salted path is taken only for the shuffle strategy.
+    """
+    p = primary.withColumn(
+        "__jcell", F.explode(grid.ring1(grid.encode(F.col(p_lon), F.col(p_lat))))
+    )
+    s = secondary.withColumn("__jcell", F.explode(covering_cells(F.col(s_xs), F.col(s_ys), grid)))
+
+    if broadcast_secondary:
+        joined = p.join(F.broadcast(s), "__jcell")
+    elif broadcast_secondary is None:
+        joined = p.join(s, "__jcell")  # AQE picks broadcast vs shuffle at runtime
+    else:
+        joined = _salted_join(p, s, p_key, n_salt, hot_threshold)
+
+    # a pair can meet in several cells of the ring — keep one row per pair
+    return joined.drop("__jcell", "__salt").dropDuplicates([p_key, s_key])
+
+
+def _salted_join(p: DataFrame, s: DataFrame, p_key: str, n_salt: int,
+                 hot_threshold: int) -> DataFrame:
+    """Shuffle hash join on cell keys with explicit hot-cell salting.
+
+    Hot cells (dense clusters: one city block of images) are detected with a
+    cheap pre-aggregation on the already-exploded build side; the probe side
+    splits each hot cell into n_salt sub-keys by hashing its row key, the
+    build side replicates hot-cell rows n_salt times. Cold cells pay
+    nothing (salt 0 on both sides, no replication).
+    """
+    hot = (
+        s.groupBy("__jcell").count()
+        .filter(F.col("count") > F.lit(hot_threshold))
+        .select("__jcell", F.lit(True).alias("__hot"))
+    )
+    p2 = (
+        p.join(F.broadcast(hot), "__jcell", "left")
+        .withColumn(
+            "__salt",
+            F.when(F.col("__hot"), F.pmod(F.xxhash64(F.col(p_key)), F.lit(n_salt)))
+            .otherwise(F.lit(0)).cast("int"),
+        )
+        .drop("__hot")
+    )
+    s2 = (
+        s.join(F.broadcast(hot), "__jcell", "left")
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.when(F.col("__hot"), F.sequence(F.lit(0), F.lit(n_salt - 1)))
+                .otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .withColumn("__salt", F.col("__salt").cast("int"))
+        .drop("__hot")
+    )
+    return p2.join(s2, ["__jcell", "__salt"])

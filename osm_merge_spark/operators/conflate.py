@@ -1,0 +1,180 @@
+"""The flagship conflation pipeline (SURVEY §3.1) — images × existing layer.
+
+Reference semantics (osm_merge/conflator.py): for every primary feature,
+find secondary features within a distance threshold, score tag agreement
+(fuzzy name ratio, ref tokens, exact-geometry), pick the best candidate
+(max hits then min distance), merge tags with old_* preservation and bump
+version; primaries with no candidate become "new" features
+(conflator.py:318-325).
+
+Spark-first plan (one lazy DataFrame graph, no driver loops):
+    scan → cell encode → ring-1 explode → [broadcast | salted-shuffle] join
+    → exact distance refine (haversine / point→polyline) → fuzzy+ref gates
+    → window rank → matched/new split.
+
+Intentional, documented divergences from the reference implementation:
+  - deterministic top-5 by distance instead of scan-order early exit
+    (conflator.py:262-267);
+  - true-meter distances (haversine; mercator planar × cos(lat) for lines)
+    instead of raw EPSG:3857 planar meters which overestimate by 1/cos(lat);
+  - candidates are ranked globally per primary, not per worker chunk.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import fuzzy, geo
+from ..functions.cells import CellGrid
+from ..functions.kernels import point_polyline_dist
+from . import cell_join, knn
+
+
+@dataclass(frozen=True)
+class ConflateParams:
+    """Thresholds mirror the reference defaults."""
+
+    threshold_m: float = 7.0      # class default, conflator.py:357
+    fuzz_min: float = 85.0        # conflator.py:596-598
+    len_diff_max: int = 3         # conflator.py:597
+    candidate_cap: int = 5        # conflator.py:262-267
+    n_salt: int = cell_join.DEFAULT_SALT
+    hot_threshold: int = cell_join.DEFAULT_HOT_THRESHOLD
+    use_indel_ratio: bool = True  # exact fuzz.ratio kernel vs native lev approx
+
+
+def refine_distance(pairs: DataFrame, p_lon: str = "lon", p_lat: str = "lat") -> DataFrame:
+    """Exact distance in meters for candidate pairs (X2/X3).
+
+    Points: haversine (pure Catalyst). Lines/rings: planar point→polyline
+    in mercator meters × cos(lat) local-scale correction — runs only on the
+    post-join candidate set, which the cell join already cut to ~0.001% of
+    the cross product.
+    """
+    s_lon1 = F.element_at("xs", 1)
+    s_lat1 = F.element_at("ys", 1)
+    point_d = geo.haversine_m(F.col(p_lon), F.col(p_lat), s_lon1, s_lat1)
+    merc_px = geo.mercator_x(F.col(p_lon))
+    merc_py = geo.mercator_y(F.col(p_lat))
+    merc_xs = F.transform("xs", lambda x: geo.mercator_x(x))
+    merc_ys = F.transform("ys", lambda y: geo.mercator_y(y))
+    line_d = point_polyline_dist(merc_px, merc_py, merc_xs, merc_ys) * F.cos(
+        F.radians(F.col(p_lat))
+    )
+    return pairs.withColumn(
+        "dist_m", F.when(F.size("xs") == 1, point_d).otherwise(line_d)
+    )
+
+
+def score_hits(pairs: DataFrame, params: ConflateParams,
+               p_caption: str = "caption", s_caption: str = "s_caption") -> DataFrame:
+    """Tag-agreement score (X1/X9 + exact-geometry bonus).
+
+    hits = fuzzy-name match (ratio > fuzz_min AND |len diff| ≤ len_diff_max)
+         + ref-token match (upper token equality, conflator.py:605-622)
+         + exact-geometry (dist == 0, conflator.py:229-234).
+    """
+    a, b = F.col(p_caption), F.col(s_caption)
+    ratio = (fuzzy.ratio_indel(a, b) if params.use_indel_ratio else fuzzy.ratio_lev(a, b))
+    name_hit = (
+        (F.col("ratio") > F.lit(params.fuzz_min))
+        & (F.abs(F.length(a) - F.length(b)) <= F.lit(params.len_diff_max))
+    ).cast("int")
+    ref_a = F.upper(F.element_at(F.split(F.coalesce(F.col("p_ref"), F.lit("")), " "), -1))
+    ref_b = F.upper(F.element_at(F.split(F.coalesce(F.col("s_ref"), F.lit("")), " "), -1))
+    has_refs = (F.length(ref_a) > 0) & (F.length(ref_b) > 0)
+    ref_hit = (has_refs & (ref_a == ref_b)).cast("int")
+    geom_hit = (F.col("dist_m") == 0.0).cast("int")
+    out = pairs.withColumn("ratio", ratio)
+    for c in ("p_ref", "s_ref"):
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(None).cast("string"))
+    return out.withColumn("hits", name_hit + ref_hit + geom_hit)
+
+
+def merged_tags_col() -> F.Column:
+    """Tag merge with precedence + old_* preservation (X10,
+    conflator.py:554,626; docs/calculations.md:77-101): primary (incoming)
+    values win; overwritten secondary values are preserved as old_<key>."""
+    p, s = F.col("p_tags"), F.col("s_tags")
+    overwritten = F.map_filter(s, lambda k, v: F.map_contains_key(p, k) & (F.element_at(p, k) != v))
+    olds = F.map_from_entries(
+        F.transform(
+            F.map_entries(overwritten),
+            lambda e: F.struct(F.concat(F.lit("old_"), e.key).alias("key"), e.value.alias("value")),
+        )
+    )
+    kept_secondary = F.map_filter(s, lambda k, v: ~F.map_contains_key(p, k))
+    return F.map_concat(kept_secondary, p, olds)
+
+
+def conflate(images: DataFrame, layer: DataFrame,
+             params: ConflateParams = ConflateParams(),
+             broadcast_layer: bool | None = None) -> tuple[DataFrame, DataFrame]:
+    """Run the full ladder. Returns (matched, new).
+
+    images: (image_id, caption, lon, lat, [p_tags map], ...payload excluded
+            by caller — join on ids, re-attach bytes afterwards)
+    layer:  (feature_id, version, geom_type, xs, ys, tags, caption)
+
+    matched: image_id, feature_id, dist_m, ratio, hits, version (bumped),
+             tags (merged + debug counters like conflator.py:250-253)
+    new:     image_id, caption, lon, lat, version=1, tags with
+             informal=yes + fixme (conflator.py:318-325)
+    """
+    grid = CellGrid.for_radius(params.threshold_m * 1.05,
+                               max_abs_lat=70.0)
+    p = images.withColumnRenamed("tags", "p_tags") if "tags" in images.columns else \
+        images.withColumn("p_tags", F.map_from_arrays(
+            F.array(F.lit("name")), F.array(F.col("caption"))))
+    p = p.withColumn("p_ref", F.element_at("p_tags", "ref:usfs"))
+    s = (layer
+         .withColumnRenamed("tags", "s_tags")
+         .withColumnRenamed("caption", "s_caption")
+         .withColumn("s_ref", F.element_at("s_tags", "ref:usfs")))
+
+    pairs = cell_join.candidate_pairs(
+        p, s, grid,
+        broadcast_secondary=broadcast_layer,
+        n_salt=params.n_salt, hot_threshold=params.hot_threshold,
+    )
+    refined = refine_distance(pairs).filter(F.col("dist_m") <= F.lit(params.threshold_m))
+    capped = knn.top_k(refined, "image_id",
+                       [F.asc("dist_m"), F.asc("feature_id")], params.candidate_cap)
+    scored = score_hits(capped, params)
+    best = knn.best_candidate(scored, "image_id")
+
+    matched = best.select(
+        "image_id", "feature_id",
+        F.round("dist_m", 9).alias("dist_m"),
+        F.round("ratio", 6).alias("ratio"),
+        "hits",
+        (F.col("version") + 1).alias("version"),  # bump, conflator.py:945-947
+        F.map_concat(
+            merged_tags_col(),
+            F.create_map(
+                F.lit("hits"), F.col("hits").cast("string"),
+                F.lit("dist"), F.round("dist_m", 6).cast("string"),
+                F.lit("ratio"), F.round("ratio", 2).cast("string"),
+            ),
+        ).alias("tags"),
+        "lon", "lat",
+    )
+    new = (
+        p.join(best.select("image_id"), "image_id", "left_anti")
+        .select(
+            "image_id", "caption", "lon", "lat",
+            F.lit(1).alias("version"),
+            F.map_concat(
+                F.col("p_tags"),
+                F.create_map(
+                    F.lit("informal"), F.lit("yes"),
+                    F.lit("fixme"), F.lit("new feature, needs validation"),
+                ),
+            ).alias("tags"),
+        )
+    )
+    return matched, new

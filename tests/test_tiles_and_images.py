@@ -1,0 +1,83 @@
+"""Tile assignment vs floor-arithmetic oracle; image codec PSNR invariant."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_merge_spark.data import images as codec
+from osm_merge_spark.data import synth
+from osm_merge_spark.functions.cells import TileGrid
+from osm_merge_spark.operators import tiles as tile_ops
+
+R = 6378137.0
+
+
+def _merc(lon, lat):
+    return (R * math.radians(lon),
+            R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)))
+
+
+def test_assign_tiles_matches_floor_oracle(spark):
+    tg = TileGrid(10_000.0)
+    df = synth.synth_images(spark, 300)
+    got = tile_ops.assign_tiles(df, tg).select("image_id", "lon", "lat", "tile_id").collect()
+    for r in got:
+        mx, my = _merc(r["lon"], r["lat"])
+        want = math.floor(my / tg.tile_m) * tg.nx + math.floor(mx / tg.tile_m)
+        assert r["tile_id"] == want
+
+
+def test_generate_tiles_covers_all_images(spark):
+    tg = TileGrid(10_000.0)
+    tiles = tile_ops.generate_tiles(
+        spark, synth.LON_MIN, synth.LAT_MIN, synth.LON_MAX, synth.LAT_MAX, tg)
+    imgs = tile_ops.assign_tiles(synth.synth_images(spark, 300), tg)
+    # every image's tile is in the generated bbox grid
+    missing = imgs.join(tiles, "tile_id", "left_anti").count()
+    assert missing == 0
+    # AOI clipping drops some tiles but keeps all in-AOI images
+    aoi_tiles = tile_ops.generate_tiles(
+        spark, synth.LON_MIN, synth.LAT_MIN, synth.LON_MAX, synth.LAT_MAX, tg,
+        aoi_ring=(synth.AOI_RING_X, synth.AOI_RING_Y))
+    assert aoi_tiles.count() < tiles.count()
+
+
+def test_png_roundtrip_lossless():
+    px = codec.pixels_for_seed(123, 16, 16)
+    buf = codec.encode_png(px)
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    back = codec.decode_png(buf)
+    assert np.array_equal(px, back)
+    assert codec.psnr_db(px, back) == float("inf")
+
+
+def test_qnt_lossy_psnr_above_40():
+    for seed in (1, 7, 99):
+        px = codec.pixels_for_seed(seed, 16, 16)
+        back = codec.decode_qnt(codec.encode_qnt(px))
+        p = codec.psnr_db(px, back)
+        assert 40.0 <= p < 60.0, p
+
+
+def test_images_table_payload_invariant(spark):
+    """Per-row invariant from BASELINE.json input_hint: decoded pixels vs
+    re-synthesized reference pixels — PSNR ≥ 40 dB (∞ for png), caption
+    stable under re-synthesis (determinism)."""
+    df = synth.synth_images(spark, 60, with_bytes=True)
+    rows = df.collect()
+    caps1 = {r["image_id"]: r["caption"] for r in rows}
+    for r in rows:
+        ref = codec.pixels_for_seed(r["i"], r["w"], r["h"])
+        got = codec.decode(bytes(r["bytes"]), r["fmt"])
+        assert codec.psnr_db(ref, got) >= 40.0
+    rows2 = synth.synth_images(spark, 60, with_bytes=False).collect()
+    assert {r["image_id"]: r["caption"] for r in rows2} == caps1
+
+
+def test_unsupported_format_raises():
+    with pytest.raises(NotImplementedError):
+        codec.encode(codec.pixels_for_seed(1, 4, 4), "jpg")
