@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship conflation pipeline on sf0.001 (full ladder with the
+               engine's cell join, Arrow refine kernels, ranking windows).
+queries()    — one entry per implemented operator from SURVEY.md §2 plus the
+               training-data ops, each over the driver's parquet tables.
+oracle_sql() — bit-identical ANSI SQL for DuckDB (same column names; every
+               double routed through round() in both engines).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osm_merge_spark.queries import registry  # noqa: E402
+
+_TESTDATA_SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full conflation (J1→J3→J7 ladder) over the image+caption
+    table derived from sf0.001, via the engine's conflate() operator."""
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.operators.conflate import ConflateParams, conflate
+    from osm_merge_spark.queries import base
+
+    img = base.images_df(spark, _TESTDATA_SF0001)
+    lyr = base.layer_df(spark, _TESTDATA_SF0001).select(
+        "feature_id",
+        "version",
+        F.lit("Point").alias("geom_type"),
+        F.array("s_lon").alias("xs"),
+        F.array("s_lat").alias("ys"),
+        F.map_from_arrays(
+            F.array(F.lit("name")), F.array(F.col("s_caption"))
+        ).alias("tags"),
+        F.col("s_caption").alias("caption"),
+    )
+    matched, _new = conflate(img, lyr, ConflateParams())
+    return matched.select(
+        "image_id", "feature_id", "dist_m", "ratio", "hits", "version"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in registry().items() if sql is not None
+    }

@@ -1,0 +1,19 @@
+"""Driver-contract query registry.
+
+Each module contributes `QUERIES: dict[name -> (spark_fn, oracle_sql|None)]`
+where spark_fn(spark, sf_dir) -> DataFrame and oracle_sql is ANSI SQL DuckDB
+runs on the same parquet tables (views pre-registered by the driver).
+Column names/types are aligned pairwise; every double passes through round()
+in BOTH engines so value-hashes compare exactly.
+"""
+
+from __future__ import annotations
+
+
+def registry():
+    from . import geo, relational, text, vectors
+
+    out = {}
+    for mod in (geo, relational, text, vectors):
+        out.update(mod.QUERIES)
+    return out

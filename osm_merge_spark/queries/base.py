@@ -1,0 +1,192 @@
+"""Shared derivation of the image+caption/layer tables from the driver's
+TPC-H-ish parquet — every formula exists twice, as a Catalyst expression and
+as the identical ANSI SQL string, so the DuckDB oracle reproduces the Spark
+result bit-for-bit.
+
+Geometry synthesis is pure integer-hash arithmetic (multiply/mod — no
+transcendental "randomness"), making coordinates IEEE-identical across
+engines. Match classes are planted exactly like data/synth.py (FIXTURES.md
+§2): an image's class = key % 10 decides jitter/typo/far/absent — so the
+conflation ladder's expected output is known by construction AND
+SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geo import dlit
+
+# AOI bbox (matches data/synth.py) + non-convex AOI ring (NE corner cut).
+LON_MIN, LON_MAX = -109.2, -108.2
+LAT_MIN, LAT_MAX = 43.4, 44.0
+AOI_RING = [
+    (LON_MIN, LAT_MIN), (LON_MAX, LAT_MIN), (LON_MAX, LAT_MAX - 0.25),
+    (LON_MIN + 0.7, LAT_MAX), (LON_MIN, LAT_MAX - 0.1),
+]
+HOT_LON, HOT_LAT = -108.70003, 43.70007  # hot-cell cluster center (skew test)
+HOT_MOD = 20                              # p_partkey % 20 == 0 → hot part
+
+THRESHOLD_M = 7.0  # reference class default (osm_merge/conflator.py:357)
+
+_A = 2654435761  # Knuth multiplicative constant
+_M = 1000003     # prime modulus
+
+
+def u01(k: Column, salt: int) -> Column:
+    """Deterministic uniform-ish double in [0,1) from an integer key.
+
+    Pure int64 multiply/mod then one division — IEEE-identical in DuckDB.
+    """
+    return ((k.cast("long") * F.lit(_A) + F.lit(salt * 7919)) % F.lit(_M)).cast(
+        "double"
+    ) / F.lit(float(_M))
+
+
+def u01_sql(k: str, salt: int) -> str:
+    return (
+        f"(CAST((CAST({k} AS BIGINT) * {_A} + {salt * 7919}) % {_M} AS DOUBLE)"
+        f" / {dlit(float(_M))})"
+    )
+
+
+# --- part positions (the "existing layer" geometry) -------------------------
+def part_lon(pk: Column) -> Column:
+    hot = (pk % F.lit(HOT_MOD)) == F.lit(0)
+    return F.when(
+        hot, F.lit(HOT_LON) + (u01(pk, 1) - F.lit(0.5)) * F.lit(0.0009)
+    ).otherwise(F.lit(LON_MIN) + u01(pk, 1) * F.lit(LON_MAX - LON_MIN))
+
+
+def part_lat(pk: Column) -> Column:
+    hot = (pk % F.lit(HOT_MOD)) == F.lit(0)
+    return F.when(
+        hot, F.lit(HOT_LAT) + (u01(pk, 2) - F.lit(0.5)) * F.lit(0.0009)
+    ).otherwise(F.lit(LAT_MIN) + u01(pk, 2) * F.lit(LAT_MAX - LAT_MIN))
+
+
+def part_lon_sql(pk: str) -> str:
+    return (
+        f"(CASE WHEN ({pk} % {HOT_MOD}) = 0 THEN {dlit(HOT_LON)}"
+        f" + ({u01_sql(pk, 1)} - {dlit(0.5)}) * {dlit(0.0009)}"
+        f" ELSE {dlit(LON_MIN)} + {u01_sql(pk, 1)} * {dlit(LON_MAX - LON_MIN)} END)"
+    )
+
+
+def part_lat_sql(pk: str) -> str:
+    return (
+        f"(CASE WHEN ({pk} % {HOT_MOD}) = 0 THEN {dlit(HOT_LAT)}"
+        f" + ({u01_sql(pk, 2)} - {dlit(0.5)}) * {dlit(0.0009)}"
+        f" ELSE {dlit(LAT_MIN)} + {u01_sql(pk, 2)} * {dlit(LAT_MAX - LAT_MIN)} END)"
+    )
+
+
+# --- the derived layer table (feature per part) -----------------------------
+def layer_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pk = F.col("p_partkey")
+    return pt.select(
+        pk.alias("feature_id"),
+        ((pk % 3) + 1).cast("int").alias("version"),
+        part_lon(pk).alias("s_lon"),
+        part_lat(pk).alias("s_lat"),
+        F.col("p_name").alias("s_caption"),
+    )
+
+
+LAYER_SQL = (
+    "SELECT p_partkey AS feature_id,"
+    " CAST((p_partkey % 3) + 1 AS INT) AS version,"
+    f" {part_lon_sql('p_partkey')} AS s_lon,"
+    f" {part_lat_sql('p_partkey')} AS s_lat,"
+    " p_name AS s_caption"
+    " FROM part"
+)
+
+
+# --- the derived images table (one image per lineitem) ----------------------
+# class = key % 10 (mirrors data/synth.py classes):
+#   0-4: near part position (4 = exact dup, dist==0), caption same (2,3 typo)
+#   5  : near, unrelated caption                  → match by dist, hits=0
+#   6  : caption same, planted FAR (+0.08°)       → NEW
+#   7-9: unrelated position                       → NEW
+_DEG_PER_M_LAT = 1.0 / 110_574.0
+_JIT = THRESHOLD_M * 0.45 * _DEG_PER_M_LAT
+
+
+def images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (l_orderkey, l_linenumber) is NOT unique in the driver's lineitem —
+    # deduplicate deterministically (min partkey) so the image key is unique
+    # and the oracle reproduces the exact same row set.
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min("l_partkey").alias("l_partkey"))
+    )
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    df = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    cls = key % 10
+    pk = F.col("p_partkey")
+    dlon = (
+        F.when(cls == 4, F.lit(0.0))
+        .when(cls == 6, F.lit(0.08))
+        .otherwise((u01(key, 3) - F.lit(0.5)) * F.lit(2.0 * _JIT))
+    )
+    dlat = (
+        F.when(cls == 4, F.lit(0.0))
+        .when(cls == 6, F.lit(0.08))
+        .otherwise((u01(key, 4) - F.lit(0.5)) * F.lit(2.0 * _JIT))
+    )
+    lon = F.when(
+        cls >= 7, F.lit(LON_MIN) + u01(key, 5) * F.lit(LON_MAX - LON_MIN)
+    ).otherwise(part_lon(pk) + dlon)
+    lat = F.when(
+        cls >= 7, F.lit(LAT_MIN) + u01(key, 6) * F.lit(LAT_MAX - LAT_MIN)
+    ).otherwise(part_lat(pk) + dlat)
+    typo = F.concat(
+        F.substring("p_name", 1, 2), F.lit("x"), F.expr("substring(p_name, 4)")
+    )
+    caption = (
+        F.when(cls.isin(2, 3), typo)
+        .when(cls == 5, F.concat(F.lit("misc object "), (key % 7).cast("string")))
+        .otherwise(F.col("p_name"))
+    )
+    return df.select(
+        F.concat(F.lit("img-"), key.cast("string")).alias("image_id"),
+        key.alias("ikey"),
+        cls.cast("int").alias("cls"),
+        caption.alias("caption"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+        pk.alias("src_part"),
+    )
+
+
+_KEY_SQL = "(CAST(l_orderkey * 8 + l_linenumber AS BIGINT))"
+_CLS_SQL = f"({_KEY_SQL} % 10)"
+
+IMAGES_SQL = (
+    "SELECT 'img-' || CAST(k AS VARCHAR) AS image_id, k AS ikey,"
+    " CAST(cls AS INT) AS cls, caption, lon, lat, p_partkey AS src_part FROM ("
+    "SELECT k, cls,"
+    " CASE WHEN cls IN (2,3) THEN substr(p_name,1,2) || 'x' || substr(p_name,4)"
+    "      WHEN cls = 5 THEN 'misc object ' || CAST(k % 7 AS VARCHAR)"
+    "      ELSE p_name END AS caption,"
+    " CASE WHEN cls >= 7 THEN "
+    f"{dlit(LON_MIN)} + {u01_sql('k', 5)} * {dlit(LON_MAX - LON_MIN)}"
+    f" ELSE {part_lon_sql('p_partkey')} + (CASE WHEN cls = 4 THEN {dlit(0.0)}"
+    f" WHEN cls = 6 THEN {dlit(0.08)}"
+    f" ELSE ({u01_sql('k', 3)} - {dlit(0.5)}) * {dlit(2.0 * _JIT)} END) END AS lon,"
+    " CASE WHEN cls >= 7 THEN "
+    f"{dlit(LAT_MIN)} + {u01_sql('k', 6)} * {dlit(LAT_MAX - LAT_MIN)}"
+    f" ELSE {part_lat_sql('p_partkey')} + (CASE WHEN cls = 4 THEN {dlit(0.0)}"
+    f" WHEN cls = 6 THEN {dlit(0.08)}"
+    f" ELSE ({u01_sql('k', 4)} - {dlit(0.5)}) * {dlit(2.0 * _JIT)} END) END AS lat,"
+    " p_partkey FROM ("
+    f"SELECT {_KEY_SQL} AS k, {_CLS_SQL} AS cls, p_name, p_partkey"
+    " FROM (SELECT l_orderkey, l_linenumber, min(l_partkey) AS l_partkey"
+    " FROM lineitem GROUP BY 1, 2) li"
+    " JOIN part ON l_partkey = p_partkey) t) t2"
+)

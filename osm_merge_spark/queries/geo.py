@@ -1,0 +1,258 @@
+"""Geospatial driver-contract queries: tiling, cell indexing, the
+distance-threshold conflation join ladder, and AOI point-in-polygon clip.
+
+Each entry = (spark_fn, oracle_sql). The oracle reproduces the *semantics*
+(cell-key candidate join + exact refine + ranking windows) in ANSI SQL so
+DuckDB independently recomputes the full pipeline on the same tables.
+
+Reference parity (SURVEY §2): J1/J2 dist join, J3/T1-T3 ranking, J7 anti
+join, J10/A6 tiling, F6 PIP clip, X1 fuzzy ratio, X3 haversine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import fuzzy, geo
+from ..functions.cells import CellGrid, TileGrid
+from ..functions.kernels import point_in_polygon_udf
+from ..operators import cell_join
+from . import base
+
+GRID = CellGrid.for_radius(base.THRESHOLD_M, max_abs_lat=45.0)
+TILES = TileGrid(tile_m=5000.0)
+
+
+# ---------------------------------------------------------------------------
+# tile_assign — J10/A6: raster→tile assignment by EPSG:3857 floor arithmetic
+# ---------------------------------------------------------------------------
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir)
+    return (
+        img.withColumn("tile_id", TILES.tile_id(F.col("lon"), F.col("lat")))
+        .groupBy("tile_id")
+        .agg(F.count("*").alias("n_images"))
+    )
+
+
+def _sql_tile_assign() -> str:
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}) "
+        f"SELECT {TILES.tile_id_sql('lon', 'lat')} AS tile_id,"
+        " count(*) AS n_images FROM img GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# cell_stats — cell encoding (the H3/S2-style index) + per-cell density
+# (feeds hot-cell detection for salting; SURVEY §4 skew row)
+# ---------------------------------------------------------------------------
+def q_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir)
+    return (
+        img.withColumn("cell_id", GRID.encode(F.col("lon"), F.col("lat")))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_images"))
+        .filter(F.col("n_images") > 1)
+    )
+
+
+def _sql_cell_stats() -> str:
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}) "
+        f"SELECT {GRID.encode_sql('lon', 'lat')} AS cell_id,"
+        " count(*) AS n_images FROM img GROUP BY 1 HAVING count(*) > 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared candidate-pair plumbing (cell equi-join, ring-1 expansion)
+# ---------------------------------------------------------------------------
+def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs → exact haversine refine. One definition reused by
+    dist_join / conflate_best / conflate_new (same physical plan prefix)."""
+    img = base.images_df(spark, sf_dir)
+    lyr = base.layer_df(spark, sf_dir).withColumns(
+        {"xs": F.array("s_lon"), "ys": F.array("s_lat")}
+    )
+    pairs = cell_join.candidate_pairs(
+        img, lyr, GRID, p_key="image_id", s_key="feature_id"
+    )
+    return pairs.withColumn(
+        "dist",
+        geo.haversine_m(F.col("lon"), F.col("lat"), F.col("s_lon"), F.col("s_lat")),
+    )
+
+
+def _sql_pairs() -> str:
+    offs = ", ".join(str(o) for o in GRID.ring1_sql_values())
+    return (
+        f"img AS ({base.IMAGES_SQL}), lyr AS ({base.LAYER_SQL}), "
+        "pc AS (SELECT i.*, cell0 + off AS jcell FROM "
+        f"(SELECT *, {GRID.encode_sql('lon', 'lat')} AS cell0 FROM img) i "
+        f"CROSS JOIN (SELECT unnest([{offs}]) AS off) o), "
+        f"sc AS (SELECT l.*, {GRID.encode_sql('s_lon', 's_lat')} AS jcell FROM lyr l), "
+        "pairs AS (SELECT DISTINCT image_id, ikey, caption, lon, lat,"
+        " feature_id, version, s_lon, s_lat, s_caption"
+        " FROM pc JOIN sc USING (jcell)), "
+        "ref AS (SELECT *, "
+        f"{geo.haversine_m_sql('lon', 'lat', 's_lon', 's_lat')} AS dist FROM pairs)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dist_join — J1/J2: distance-threshold spatial join, exact refine
+# ---------------------------------------------------------------------------
+def q_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _pairs_df(spark, sf_dir)
+        .filter(F.col("dist") <= F.lit(base.THRESHOLD_M))
+        .select(
+            "image_id", "feature_id", F.round("dist", 3).alias("dist_m")
+        )
+    )
+
+
+def _sql_dist_join() -> str:
+    return (
+        f"WITH {_sql_pairs()} "
+        "SELECT image_id, feature_id, round(dist, 3) AS dist_m"
+        f" FROM ref WHERE dist <= {geo.dlit(base.THRESHOLD_M)}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# conflate_best — J3/T1-T3/X1: top-5 by distance, fuzzy-caption + exact-geom
+# hits, best candidate per image (the reference decision ladder,
+# conflator.py:215-298, as deterministic window logic)
+# ---------------------------------------------------------------------------
+def q_conflate_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refined = _pairs_df(spark, sf_dir).filter(
+        F.col("dist") <= F.lit(base.THRESHOLD_M)
+    )
+    w5 = Window.partitionBy("image_id").orderBy(F.asc("dist"), F.asc("feature_id"))
+    capped = (
+        refined.withColumn("rk", F.row_number().over(w5))
+        .filter(F.col("rk") <= 5)
+        .drop("rk")
+    )
+    ratio = fuzzy.ratio_lev(F.col("caption"), F.col("s_caption"))
+    name_hit = (
+        (ratio > F.lit(85.0))
+        & (F.abs(F.length("caption") - F.length("s_caption")) <= F.lit(3))
+    ).cast("int")
+    geom_hit = (F.col("dist") == F.lit(0.0)).cast("int")
+    scored = capped.withColumn("ratio", ratio).withColumn(
+        "hits", name_hit + geom_hit
+    )
+    wb = Window.partitionBy("image_id").orderBy(
+        F.desc("hits"), F.asc("dist"), F.asc("feature_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            "image_id",
+            "feature_id",
+            "hits",
+            F.round("ratio", 2).alias("ratio"),
+            F.round("dist", 3).alias("dist_m"),
+            (F.col("version") + 1).cast("int").alias("version"),
+        )
+    )
+
+
+def _sql_conflate_best() -> str:
+    ratio = fuzzy.ratio_lev_sql("caption", "s_caption")
+    return (
+        f"WITH {_sql_pairs()}, "
+        f"inr AS (SELECT * FROM ref WHERE dist <= {geo.dlit(base.THRESHOLD_M)}), "
+        "capped AS (SELECT * FROM (SELECT *, row_number() OVER"
+        " (PARTITION BY image_id ORDER BY dist ASC, feature_id ASC) AS rk"
+        " FROM inr) t WHERE rk <= 5), "
+        f"scored AS (SELECT *, {ratio} AS ratio,"
+        f" (CASE WHEN {ratio} > {geo.dlit(85.0)}"
+        " AND abs(length(caption) - length(s_caption)) <= 3 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN dist = {geo.dlit(0.0)} THEN 1 ELSE 0 END) AS hits"
+        " FROM capped) "
+        "SELECT image_id, feature_id, CAST(hits AS INT) AS hits,"
+        " round(ratio, 2) AS ratio, round(dist, 3) AS dist_m,"
+        " CAST(version + 1 AS INT) AS version FROM"
+        " (SELECT *, row_number() OVER (PARTITION BY image_id ORDER BY"
+        " hits DESC, dist ASC, feature_id ASC) AS rk2 FROM scored) t"
+        " WHERE rk2 = 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# conflate_new — J7: anti-join, primaries with zero candidates become "new"
+# ---------------------------------------------------------------------------
+def q_conflate_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir)
+    matched = (
+        _pairs_df(spark, sf_dir)
+        .filter(F.col("dist") <= F.lit(base.THRESHOLD_M))
+        .select("image_id")
+        .distinct()
+    )
+    return img.join(matched, "image_id", "left_anti").select(
+        "image_id", "caption", F.lit(1).alias("version")
+    )
+
+
+def _sql_conflate_new() -> str:
+    return (
+        f"WITH {_sql_pairs()}, "
+        "m AS (SELECT DISTINCT image_id FROM ref"
+        f" WHERE dist <= {geo.dlit(base.THRESHOLD_M)}) "
+        "SELECT image_id, caption, CAST(1 AS BIGINT) AS version FROM img"
+        " WHERE image_id NOT IN (SELECT image_id FROM m)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# aoi_clip — F6: exact ray-cast point-in-polygon against the AOI boundary
+# ---------------------------------------------------------------------------
+def q_aoi_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir)
+    pip = point_in_polygon_udf(
+        [p[0] for p in base.AOI_RING], [p[1] for p in base.AOI_RING]
+    )
+    return img.filter(pip(F.col("lon"), F.col("lat"))).select(
+        "image_id", F.round("lon", 6).alias("lon6"), F.round("lat", 6).alias("lat6")
+    )
+
+
+def _sql_aoi_clip() -> str:
+    ring = base.AOI_RING
+    n = len(ring)
+    terms = []
+    for i in range(n):
+        xi, yi = ring[i]
+        xj, yj = ring[(i - 1) % n]
+        xi_s, yi_s = geo.dlit(xi), geo.dlit(yi)
+        xj_s, yj_s = geo.dlit(xj), geo.dlit(yj)
+        # mirror kernels._raycast exactly: crossing test then strict x < xint
+        terms.append(
+            f"(CASE WHEN (({yi_s} > lat) != ({yj_s} > lat)) THEN"
+            f" (CASE WHEN lon < (({xj_s} - {xi_s}) * (lat - {yi_s})"
+            f" / ({yj_s} - {yi_s}) + {xi_s}) THEN 1 ELSE 0 END)"
+            " ELSE 0 END)"
+        )
+    inside = "(" + " + ".join(terms) + ") % 2 = 1"
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}) "
+        "SELECT image_id, round(lon, 6) AS lon6, round(lat, 6) AS lat6"
+        f" FROM img WHERE {inside}"
+    )
+
+
+QUERIES = {
+    "tile_assign": (q_tile_assign, _sql_tile_assign()),
+    "cell_stats": (q_cell_stats, _sql_cell_stats()),
+    "dist_join": (q_dist_join, _sql_dist_join()),
+    "conflate_best": (q_conflate_best, _sql_conflate_best()),
+    "conflate_new": (q_conflate_new, _sql_conflate_new()),
+    "aoi_clip": (q_aoi_clip, _sql_aoi_clip()),
+}
