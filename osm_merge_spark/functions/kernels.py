@@ -196,7 +196,12 @@ def polygon_intersection_area(
                 sx, sy = sx[:-1], sy[:-1]
             if cx[0] == cx[-1] and cy[0] == cy[-1]:
                 cx, cy = cx[:-1], cy[:-1]
-            clipped = _clip_poly(sx, sy, cx, cy)
+            # translate to a local origin: geometry extents (~1e-4°) are
+            # tiny vs coordinate magnitude (~1e2°) — clipping in absolute
+            # coords loses ~6 digits to cancellation. Nearby-double
+            # subtraction is exact (Sterbenz), so this costs nothing.
+            x0, y0 = sx[0], sy[0]
+            clipped = _clip_poly(sx - x0, sy - y0, cx - x0, cy - y0)
             if clipped is not None and len(clipped[0]) >= 3:
                 out[i] = _shoelace(clipped[0], clipped[1])
     return pd.Series(out)

@@ -11,9 +11,9 @@ from __future__ import annotations
 
 
 def registry():
-    from . import geo, relational, text, vectors
+    from . import etl, geo, geo2, relational, text, vectors
 
     out = {}
-    for mod in (geo, relational, text, vectors):
+    for mod in (geo, geo2, etl, relational, text, vectors):
         out.update(mod.QUERIES)
     return out
