@@ -1,0 +1,239 @@
+"""Deduplication operators for the training-data pipeline — exact,
+n-gram-Jaccard, MinHash+LSH, and SimHash near-dup detection over a
+documents table. All shuffle-conscious:
+
+  - exact:   one hash-groupBy (map-side partial agg, single shuffle)
+  - jaccard: shingle-explode equi-join — candidates only where a shingle
+             collides (never the N² cross product)
+  - minhash: signatures in ONE groupBy (8 mins at once), then a band
+             equi-join — the standard LSH bucket join; band keys are
+             high-entropy so no salting needed
+  - simhash: one explode + groupBy with 16 conditional sums
+
+Everything is md5-derived (functions/hashes.py) so the DuckDB oracle
+reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashes, text
+
+NUM_HASHES = 8
+BAND_R = 2  # rows per LSH band → 4 bands
+SIMHASH_BITS = 16
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 prefix_words: int = 8) -> DataFrame:
+    """Group documents by an md5 content key (first `prefix_words` words —
+    catches boilerplate-prefix dups, degenerates to exact-text for short
+    docs). Returns (fp, n_docs, keep_id): survivors = min id per group."""
+    ws = text.words(F.col(text_col))
+    key = F.concat_ws(" ", F.slice(ws, 1, prefix_words))
+    return (
+        df.withColumn("fp", F.md5(key))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_groups_sql(table: str = "documents", text_col: str = "text",
+                     id_col: str = "doc_id", prefix_words: int = 8) -> str:
+    ws = text.words_sql(text_col)
+    key = f"array_to_string(list_slice({ws}, 1, {prefix_words}), ' ')"
+    return (
+        f"SELECT md5({key}) AS fp, count(*) AS n_docs,"
+        f" min({id_col}) AS keep_id FROM {table} GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    ws = text.words(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(text.shingles(ws, k)).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        min_inter: int = 2) -> DataFrame:
+    """Candidate pairs sharing ≥ min_inter distinct word-k-grams, with the
+    exact Jaccard similarity of their shingle sets.
+
+    Plan: explode→distinct (one shuffle), self-equi-join on the shingle
+    (shuffle hash join on a high-cardinality key), count-groupBy. At 100 TB
+    the classic guard is dropping ultra-frequent shingles (stop-shingles) —
+    exposed via the stop_df hook in callers if needed.
+    """
+    sh = _doc_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("nsh"))
+    a = sh.select(F.col("doc").alias("d1"), "sh")
+    b = sh.select(F.col("doc").alias("d2"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") >= F.lit(min_inter))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "d1", "nsh": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc": "d2", "nsh": "n2"}), "d2")
+        .select(
+            "d1", "d2", "inter",
+            # scaled floor, not round: jaccard is a small-denominator
+            # rational — exact round-half ties diverge across engines
+            F.floor(
+                F.col("inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double")
+                * F.lit(1.0e6)
+            ).cast("long").alias("jaccard_e6"),
+        )
+    )
+
+
+def ngram_jaccard_sql(table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      min_inter: int = 2) -> str:
+    ws = text.words_sql(text_col)
+    return (
+        f"WITH w AS (SELECT {id_col} AS doc, {ws} AS ws FROM {table}), "
+        f"sh AS (SELECT DISTINCT doc, unnest({text.shingles_sql('ws', k)}) AS sh"
+        " FROM w), "
+        "sizes AS (SELECT doc, count(*) AS nsh FROM sh GROUP BY 1), "
+        "inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter"
+        " FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc"
+        f" GROUP BY 1, 2 HAVING count(*) >= {min_inter}) "
+        "SELECT d1, d2, inter, CAST(floor(CAST(inter AS DOUBLE)"
+        " / CAST(s1.nsh + s2.nsh - inter AS DOUBLE) * 1.0e6) AS BIGINT)"
+        " AS jaccard_e6"
+        " FROM inter JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc, s0..s{n-1}) — all minima in ONE aggregation (single shuffle)."""
+    sh = _doc_shingles(df, text_col, id_col, k)
+    h = hashes.md5i(F.col("sh"), 8)
+    aggs = [
+        F.min(hashes.minhash_perm(h, a, b)).alias(f"s{i}")
+        for i, (a, b) in enumerate(hashes.minhash_params(num_hashes))
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, num_hashes: int = NUM_HASHES,
+                        band_r: int = BAND_R) -> DataFrame:
+    """Band the signature (r rows per band) and equi-join on band keys —
+    pairs agreeing on ≥1 full band. Distinct (d1, d2) output."""
+    n_bands = num_hashes // band_r
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                *[F.col(f"s{b * band_r + r}").cast("string") for r in range(band_r)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    e = sigs.select(F.col("doc"), F.explode(bands).alias("bk"))
+    a = e.select(F.col("doc").alias("d1"), "bk")
+    b = e.select(F.col("doc").alias("d2"), "bk")
+    return (
+        a.join(b, "bk")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def minhash_lsh_sql(table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3,
+                    num_hashes: int = NUM_HASHES, band_r: int = BAND_R) -> str:
+    ws = text.words_sql(text_col)
+    params = hashes.minhash_params(num_hashes)
+    mins = ", ".join(
+        f"min({hashes.minhash_perm_sql(hashes.md5i_sql('sh'), a, b)}) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    n_bands = num_hashes // band_r
+    band_keys = ", ".join(
+        "'" + str(b) + ":' || "
+        + " || ':' || ".join(
+            f"CAST(s{b * band_r + r} AS VARCHAR)" for r in range(band_r)
+        )
+        for b in range(n_bands)
+    )
+    return (
+        f"WITH w AS (SELECT {id_col} AS doc, {ws} AS ws FROM {table}), "
+        f"sh AS (SELECT DISTINCT doc, unnest({text.shingles_sql('ws', k)}) AS sh"
+        " FROM w), "
+        f"sigs AS (SELECT doc, {mins} FROM sh GROUP BY 1), "
+        f"bands AS (SELECT doc, unnest([{band_keys}]) AS bk FROM sigs) "
+        "SELECT DISTINCT a.doc AS d1, b.doc AS d2 FROM bands a"
+        " JOIN bands b ON a.bk = b.bk AND a.doc < b.doc"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over token 16-bit md5 hashes: bit i of the signature
+    is the sign of sum(±1) over tokens. One explode + one groupBy."""
+    ws = text.words(F.col(text_col))
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(ws).alias("w")
+    ).withColumn("h", hashes.md5i(F.col("w"), bits // 4))
+    bit_sums = [
+        F.sum(
+            F.when((F.col("h") % F.lit(1 << (i + 1))) >= F.lit(1 << i), F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"c{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("doc").agg(*bit_sums)
+    sig: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"c{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return agg.select("doc", sig.alias("simhash"))
+
+
+def simhash_sql(table: str = "documents", text_col: str = "text",
+                id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> str:
+    ws = text.words_sql(text_col)
+    h = hashes.md5i_sql("w", bits // 4)
+    sums = ", ".join(
+        f"sum(CASE WHEN ({h}) % {1 << (i + 1)} >= {1 << i} THEN 1 ELSE -1 END)"
+        f" AS c{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return (
+        f"WITH tok AS (SELECT {id_col} AS doc, unnest({ws}) AS w FROM {table}), "
+        f"agg AS (SELECT doc, {sums} FROM tok GROUP BY 1) "
+        f"SELECT doc, {sig} AS simhash FROM agg"
+    )

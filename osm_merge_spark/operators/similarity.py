@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring a real ANN stack:
+  - brute-force cosine top-k — the exactness baseline: broadcast the query
+    set, JVM-side zip_with/aggregate dot products (no Python), window
+    top-k. O(Q·N) but Q is small; at 100 TB this is the re-rank stage.
+  - random-hyperplane LSH — the scale path: 1-bit signatures per
+    hyperplane, bucket equi-join on the full signature, cosine refine only
+    inside buckets. Hyperplane components are deterministic literals so
+    the DuckDB oracle reproduces signatures exactly.
+
+Dot products fold left-to-right in BOTH engines (Spark aggregate() and
+DuckDB list_reduce with a prepended 0.0) so doubles are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geo import dlit
+
+LSH_BITS = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, {dim + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),"
+        " (x, y) -> x + y)"
+    )
+
+
+def _norm2_sql(a: str, dim: int) -> str:
+    return _dot_sql(a, a, dim)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+
+
+def cosine_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"({_dot_sql(a, b, dim)}"
+        f" / (sqrt({_norm2_sql(a, dim)}) * sqrt({_norm2_sql(b, dim)})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# brute-force top-k
+# ---------------------------------------------------------------------------
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: (qid, qvec). Broadcast the (small) query side — every executor
+    scans its local embedding partitions once; the only shuffle is the
+    final per-qid top-k, already cut to k·partitions rows by the window's
+    partial evaluation.
+    """
+    pairs = emb.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    ).join(F.broadcast(queries), F.col("qid") != F.col("nid"))
+    scored = pairs.withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid", "nid", F.col("rank").cast("int").alias("rank"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+def hyperplanes(dim: int, bits: int = LSH_BITS) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1] —
+    plain literals in both engines (no runtime RNG)."""
+    import hashlib
+
+    out = []
+    for b in range(bits):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{b}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    sig: Column = F.lit(0).cast("long")
+    for b, row in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in row])
+        d = _dot(vec, arr)
+        sig = sig + F.when(d >= F.lit(0.0), F.lit(1 << b)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_signature_sql(vec: str, planes: list[list[float]]) -> str:
+    parts = []
+    for b, row in enumerate(planes):
+        arr = "[" + ", ".join(dlit(x) for x in row) + "]"
+        d = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(range(1, {len(row) + 1}),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i])), (x, y) -> x + y)"
+        )
+        parts.append(
+            f"(CASE WHEN {d} >= {dlit(0.0)} THEN CAST({1 << b} AS BIGINT)"
+            " ELSE 0 END)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def lsh_candidate_pairs(emb: DataFrame, planes: list[list[float]],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Bucket equi-join on the full LSH signature; cosine refine inside
+    buckets only. At 10^12 rows this is the candidate-generation stage —
+    the bucket key is the shuffle key, hyperplane count tunes recall vs
+    bucket size."""
+    sigs = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    a = sigs.select(F.col("vid").alias("v1"), F.col("vec").alias("vec1"), "sig")
+    b = sigs.select(F.col("vid").alias("v2"), F.col("vec").alias("vec2"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("v1") < F.col("v2"))
+        .select(
+            "v1", "v2",
+            F.round(cosine(F.col("vec1"), F.col("vec2")), 6).alias("cos"),
+        )
+    )

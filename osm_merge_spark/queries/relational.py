@@ -1,3 +1,81 @@
-"""Filled in incrementally — see queries/__init__.py registry."""
+"""Event-stream queries in batch form: tumbling-window aggregation and
+gap-based sessionization (the batch semantics mirrored by the streaming/
+module's Structured Streaming jobs — SURVEY §2.9).
+"""
 
-QUERIES = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+HOUR_US = 3_600_000_000
+GAP_US = 1_800_000_000  # 30 min session gap
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + value sum."""
+    df = _events(spark, sf_dir).withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    return (
+        df.withColumn("hour_id", F.expr(f"us DIV {HOUR_US}"))
+        .groupBy("event_type", "hour_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def _sql_events_window() -> str:
+    return (
+        "SELECT event_type, epoch_us(ts) // "
+        f"{HOUR_US} AS hour_id, count(*) AS n,"
+        " round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (30-min inactivity): the reference's
+    chunked-stream processing has no event-time semantics (SURVEY §2.9);
+    this is the standard stateful op a training-data pipeline needs."""
+    df = _events(spark, sf_dir).withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_flag = (
+        (F.col("us") - F.lag("us").over(w)) > F.lit(GAP_US)
+    ).cast("int")
+    flagged = df.withColumn("new_s", F.coalesce(new_flag, F.lit(1)))
+    cum = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("session_idx", F.sum("new_s").over(cum))
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
+def _sql_sessionize() -> str:
+    return (
+        "WITH e AS (SELECT *, epoch_us(ts) AS us FROM events), "
+        "f AS (SELECT *, CASE WHEN us - lag(us) OVER"
+        " (PARTITION BY user_id ORDER BY us, event_id)"
+        f" > {GAP_US} THEN 1"
+        " WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)"
+        " IS NULL THEN 1 ELSE 0 END AS new_s FROM e), "
+        "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id"
+        " ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " CURRENT ROW) AS session_idx FROM f) "
+        "SELECT user_id, session_idx, count(*) AS n_events,"
+        " min(us) AS start_us, max(us) AS end_us"
+        " FROM s GROUP BY 1, 2"
+    )
+
+
+QUERIES = {
+    "events_window": (q_events_window, _sql_events_window()),
+    "sessionize": (q_sessionize, _sql_sessionize()),
+}

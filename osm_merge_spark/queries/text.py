@@ -1,3 +1,141 @@
-"""Filled in incrementally — see queries/__init__.py registry."""
+"""Training-data text queries over the documents table: dedup family +
+text analysis. Engine side calls operators/dedup.py and functions/text.py;
+oracles come from the same modules' SQL mirrors.
+"""
 
-QUERIES = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text
+from ..operators import dedup
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# -- exact dedup -------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_groups(_docs(spark, sf_dir))
+
+
+# -- n-gram Jaccard ----------------------------------------------------------
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    return dedup.lsh_candidate_pairs(sigs)
+
+
+# -- SimHash -----------------------------------------------------------------
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+# -- text quality ------------------------------------------------------------
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    ws = text.words(F.col("text"))
+    nw = F.size(ws)
+    char_sum = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    avg_len = char_sum.cast("double") / nw.cast("double")
+    stop_ratio = text.stop_count(ws).cast("double") / nw.cast("double")
+    # outputs are small-denominator rationals → exact round-half boundaries
+    # are reachable and Spark/DuckDB tie rules differ. floor of the
+    # (bit-identical) scaled double is deterministic in both engines.
+    return df.filter(nw > 0).select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.floor(avg_len * F.lit(1.0e6)).cast("long").alias("avg_len_e6"),
+        F.floor(stop_ratio * F.lit(1.0e6)).cast("long").alias("stop_ratio_e6"),
+        F.floor(
+            text.quality_score(nw, avg_len, stop_ratio) * F.lit(1.0e6)
+        ).cast("long").alias("quality_e6"),
+    )
+
+
+def _sql_text_quality() -> str:
+    ws = text.words_sql("text")
+    nw = f"len({ws})"
+    char_sum = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform({ws}, w -> CAST(length(w) AS BIGINT))), (a, b) -> a + b)"
+    )
+    avg_len = f"(CAST({char_sum} AS DOUBLE) / CAST({nw} AS DOUBLE))"
+    stop_ratio = f"(CAST({text.stop_count_sql(ws)} AS DOUBLE) / CAST({nw} AS DOUBLE))"
+    q = text.quality_score_sql(nw, avg_len, stop_ratio)
+    e6 = "1.0e6"
+    return (
+        f"SELECT doc_id, CAST({nw} AS INT) AS n_words,"
+        f" CAST(floor({avg_len} * {e6}) AS BIGINT) AS avg_len_e6,"
+        f" CAST(floor({stop_ratio} * {e6}) AS BIGINT) AS stop_ratio_e6,"
+        f" CAST(floor({q} * {e6}) AS BIGINT) AS quality_e6"
+        f" FROM documents WHERE {nw} > 0"
+    )
+
+
+# -- language ID -------------------------------------------------------------
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    ws = text.words(F.col("text"))
+    return df.select("doc_id", text.lang_pred(ws).alias("pred_lang"))
+
+
+def _sql_lang_id() -> str:
+    ws = text.words_sql("text")
+    return (
+        f"SELECT doc_id, {text.lang_pred_sql(ws)} AS pred_lang FROM documents"
+    )
+
+
+# -- token counting ----------------------------------------------------------
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def _sql_token_count() -> str:
+    return (
+        f"SELECT doc_id, CAST({text.token_count_sql('text')} AS INT) AS n_tokens,"
+        " CAST(length(text) AS INT) AS n_chars_actual FROM documents"
+    )
+
+
+# -- rolling-hash fingerprint ------------------------------------------------
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id", text.rolling_fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def _sql_doc_fingerprint() -> str:
+    return (
+        f"SELECT doc_id, {text.rolling_fingerprint_sql('text')} AS fp"
+        " FROM documents"
+    )
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, dedup.exact_groups_sql()),
+    "dedup_ngram": (q_dedup_ngram, dedup.ngram_jaccard_sql()),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, dedup.minhash_lsh_sql()),
+    "dedup_simhash": (q_dedup_simhash, dedup.simhash_sql()),
+    "text_quality": (q_text_quality, _sql_text_quality()),
+    "lang_id": (q_lang_id, _sql_lang_id()),
+    "token_count": (q_token_count, _sql_token_count()),
+    "doc_fingerprint": (q_doc_fingerprint, _sql_doc_fingerprint()),
+}

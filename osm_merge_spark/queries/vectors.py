@@ -1,3 +1,60 @@
-"""Filled in incrementally — see queries/__init__.py registry."""
+"""Similarity-search queries over the embeddings table (array<float>, 64-d):
+brute-force cosine top-k (exact baseline) and random-hyperplane LSH
+bucketed candidates (the scale path).
+"""
 
-QUERIES = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+
+DIM = 64
+QUERY_MOD = 25  # vec_id % 25 == 0 → the query subset
+PLANES = similarity.hyperplanes(DIM, similarity.LSH_BITS)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def _sql_ann_cosine_topk() -> str:
+    cos = similarity.cosine_sql("q.embedding", "n.embedding", DIM)
+    return (
+        f"WITH qs AS (SELECT * FROM embeddings WHERE vec_id % {QUERY_MOD} = 0), "
+        "scored AS (SELECT q.vec_id AS qid, n.vec_id AS nid,"
+        f" {cos} AS cos FROM qs q JOIN embeddings n ON q.vec_id != n.vec_id) "
+        "SELECT qid, nid, CAST(rank AS INT) AS rank, round(cos, 6) AS cos"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY qid"
+        " ORDER BY cos DESC, nid ASC) AS rank FROM scored) t WHERE rank <= 5"
+    )
+
+
+def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_candidate_pairs(_emb(spark, sf_dir), PLANES)
+
+
+def _sql_ann_lsh_pairs() -> str:
+    sig = similarity.lsh_signature_sql("embedding", PLANES)
+    cos = similarity.cosine_sql("a.embedding", "b.embedding", DIM)
+    return (
+        f"WITH sigs AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings) "
+        "SELECT a.vec_id AS v1, b.vec_id AS v2,"
+        f" round({cos}, 6) AS cos FROM sigs a JOIN sigs b"
+        " ON a.sig = b.sig AND a.vec_id < b.vec_id"
+    )
+
+
+QUERIES = {
+    "ann_cosine_topk": (q_ann_cosine_topk, _sql_ann_cosine_topk()),
+    "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh_pairs()),
+}

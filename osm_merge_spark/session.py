@@ -30,6 +30,9 @@ _DEFAULT_CONF = {
     # dimension side is small force broadcast() explicitly.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # UTC everywhere: parquet TIMESTAMP_NTZ ↔ TIMESTAMP casts stay
+    # identity on the epoch micros (and match DuckDB's naive epoch_us).
+    "spark.sql.session.timeZone": "UTC",
     # Binary image payloads make rows wide; cap scan partition size so a
     # partition of (bytes ...) rows still fits executor memory at scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
