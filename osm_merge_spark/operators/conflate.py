@@ -111,6 +111,35 @@ def merged_tags_col() -> F.Column:
     return F.map_concat(kept_secondary, p, olds)
 
 
+def prepare_images(images: DataFrame) -> DataFrame:
+    """Normalize the primary side: tags → p_tags (built from caption when
+    absent), project p_ref for the ref-token gate."""
+    p = images.withColumnRenamed("tags", "p_tags") if "tags" in images.columns else \
+        images.withColumn("p_tags", F.map_from_arrays(
+            F.array(F.lit("name")), F.array(F.col("caption"))))
+    return p.withColumn("p_ref", F.element_at("p_tags", "ref:usfs"))
+
+
+def new_features(p: DataFrame, matched_keys: DataFrame) -> DataFrame:
+    """J7: primaries with no accepted candidate become new features
+    (informal=yes + fixme, version=1 — conflator.py:318-325). p must be
+    prepare_images() output; matched_keys needs only image_id."""
+    return (
+        p.join(matched_keys.select("image_id"), "image_id", "left_anti")
+        .select(
+            "image_id", "caption", "lon", "lat",
+            F.lit(1).alias("version"),
+            F.map_concat(
+                F.col("p_tags"),
+                F.create_map(
+                    F.lit("informal"), F.lit("yes"),
+                    F.lit("fixme"), F.lit("new feature, needs validation"),
+                ),
+            ).alias("tags"),
+        )
+    )
+
+
 def conflate(images: DataFrame, layer: DataFrame,
              params: ConflateParams = ConflateParams(),
              broadcast_layer: bool | None = None) -> tuple[DataFrame, DataFrame]:
@@ -127,10 +156,7 @@ def conflate(images: DataFrame, layer: DataFrame,
     """
     grid = CellGrid.for_radius(params.threshold_m * 1.05,
                                max_abs_lat=70.0)
-    p = images.withColumnRenamed("tags", "p_tags") if "tags" in images.columns else \
-        images.withColumn("p_tags", F.map_from_arrays(
-            F.array(F.lit("name")), F.array(F.col("caption"))))
-    p = p.withColumn("p_ref", F.element_at("p_tags", "ref:usfs"))
+    p = prepare_images(images)
     s = (layer
          .withColumnRenamed("tags", "s_tags")
          .withColumnRenamed("caption", "s_caption")
@@ -163,18 +189,5 @@ def conflate(images: DataFrame, layer: DataFrame,
         ).alias("tags"),
         "lon", "lat",
     )
-    new = (
-        p.join(best.select("image_id"), "image_id", "left_anti")
-        .select(
-            "image_id", "caption", "lon", "lat",
-            F.lit(1).alias("version"),
-            F.map_concat(
-                F.col("p_tags"),
-                F.create_map(
-                    F.lit("informal"), F.lit("yes"),
-                    F.lit("fixme"), F.lit("new feature, needs validation"),
-                ),
-            ).alias("tags"),
-        )
-    )
+    new = new_features(p, best.select("image_id"))
     return matched, new

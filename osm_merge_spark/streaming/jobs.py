@@ -1,0 +1,84 @@
+"""Structured Streaming surface (SURVEY §2.9).
+
+The reference's only "streaming" is a chunked file reader used as an OOM
+workaround (osm_merge/readjson.py:69-167: N features per call) and a
+re-run-batch-every-24h sync loop (README.md:60-62). The Spark-native
+equivalents, each checkpointed and therefore resumable:
+
+  - chunked_ingest: file-source micro-batches (maxFilesPerTrigger) — the
+    direct readjson.py analog; bounded memory at any input size.
+  - windowed_event_counts: event-time tumbling window + watermark — the
+    streaming twin of queries/relational.q_events_window.
+  - session_events: native session_window (gap-close semantics identical
+    to the batch lag/cumsum sessionizer — proven by test).
+
+All jobs are defined on unbounded DataFrames; tests run them with
+Trigger.AvailableNow against the driver's parquet so results are finite
+and comparable to the batch twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def chunked_ingest(spark: SparkSession, path: str, schema,
+                   max_files_per_trigger: int = 1) -> DataFrame:
+    """readjson.py-style incremental ingest: N files per micro-batch."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window per event_type with late-data watermark."""
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+def session_events(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessions per user via the native session_window operator —
+    stateful in streaming, plain agg in batch."""
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
+                      output_mode: str = "complete",
+                      query_name: str = "q") -> DataFrame:
+    """Drain the stream to a memory sink with AvailableNow (finite run),
+    return the result as a batch DF. Used by tests and backfills."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
