@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
         ).alias("tags"),
         F.col("s_caption").alias("caption"),
     )
-    matched, _new = conflate(img, lyr, ConflateParams())
+    matched, _new = conflate(img, lyr, ConflateParams(), layer_is_points=True)
     return matched.select(
         "image_id", "feature_id", "dist_m", "ratio", "hits", "version"
     )

@@ -114,6 +114,27 @@ def angle_between(slope1: Column, slope2: Column) -> Column:
     return F.when(F.isnan(raw) | denom.eqNullSafe(F.lit(0.0)), F.lit(0.0)).otherwise(raw)
 
 
+def point_in_fixed_ring(lon: Column, lat: Column,
+                        ring: list[tuple[float, float]]) -> Column:
+    """Ray-cast PIP against ONE fixed polygon as a pure Catalyst
+    expression — the ring's edges unroll into an XOR-parity sum inside
+    whole-stage codegen (no Python, unlike the per-row-ring pandas UDF in
+    functions/kernels.py). Same half-open convention as kernels._raycast.
+    """
+    n = len(ring)
+    crossings: Column = F.lit(0)
+    for i in range(n):
+        xi, yi = ring[i]
+        xj, yj = ring[(i - 1) % n]
+        crossing = (F.lit(yi) > lat) != (F.lit(yj) > lat)
+        xint = (
+            F.lit(xj - xi) * (lat - F.lit(yi)) / F.lit(yj - yi) + F.lit(xi)
+            if yj != yi else F.lit(float("inf"))
+        )
+        crossings = crossings + F.when(crossing & (lon < xint), F.lit(1)).otherwise(F.lit(0))
+    return crossings % 2 == 1
+
+
 def ring_centroid_x(xs: Column) -> Column:
     """Vertex-average centroid x of a packed ring (ref uses shapely
     .centroid, conflatePOI.py:112-113; vertex average is the documented

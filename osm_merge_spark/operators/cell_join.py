@@ -70,6 +70,7 @@ def candidate_pairs(
     broadcast_secondary: bool | None = None,
     n_salt: int = DEFAULT_SALT,
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    secondary_points: bool = False,
 ) -> DataFrame:
     """Primary points × secondary geometries candidate pairs via cell join.
 
@@ -84,7 +85,20 @@ def candidate_pairs(
     p = primary.withColumn(
         "__jcell", F.explode(grid.ring1(grid.encode(F.col(p_lon), F.col(p_lat))))
     )
-    s = secondary.withColumn("__jcell", F.explode(covering_cells(F.col(s_xs), F.col(s_ys), grid)))
+    if secondary_points:
+        # point secondaries live in exactly ONE cell, and the probe's 9
+        # ring cells are distinct → every (p_key, s_key) pair joins in at
+        # most one cell. No pair-dedup aggregation needed — that dedup is
+        # a SortAggregate over the full payload (maps sort-merge, not
+        # hash) and dominates the join cost at scale.
+        s = secondary.withColumn(
+            "__jcell",
+            grid.encode(F.element_at(s_xs, 1), F.element_at(s_ys, 1)),
+        )
+    else:
+        s = secondary.withColumn(
+            "__jcell", F.explode(covering_cells(F.col(s_xs), F.col(s_ys), grid))
+        )
 
     if broadcast_secondary:
         joined = p.join(F.broadcast(s), "__jcell")
@@ -93,8 +107,11 @@ def candidate_pairs(
     else:
         joined = _salted_join(p, s, p_key, n_salt, hot_threshold)
 
-    # a pair can meet in several cells of the ring — keep one row per pair
-    return joined.drop("__jcell", "__salt").dropDuplicates([p_key, s_key])
+    joined = joined.drop("__jcell", "__salt")
+    if secondary_points:
+        return joined
+    # a line/ring pair can meet in several cells — keep one row per pair
+    return joined.dropDuplicates([p_key, s_key])
 
 
 def _salted_join(p: DataFrame, s: DataFrame, p_key: str, n_salt: int,

@@ -142,7 +142,8 @@ def new_features(p: DataFrame, matched_keys: DataFrame) -> DataFrame:
 
 def conflate(images: DataFrame, layer: DataFrame,
              params: ConflateParams = ConflateParams(),
-             broadcast_layer: bool | None = None) -> tuple[DataFrame, DataFrame]:
+             broadcast_layer: bool | None = None,
+             layer_is_points: bool = False) -> tuple[DataFrame, DataFrame]:
     """Run the full ladder. Returns (matched, new).
 
     images: (image_id, caption, lon, lat, [p_tags map], ...payload excluded
@@ -166,6 +167,7 @@ def conflate(images: DataFrame, layer: DataFrame,
         p, s, grid,
         broadcast_secondary=broadcast_layer,
         n_salt=params.n_salt, hot_threshold=params.hot_threshold,
+        secondary_points=layer_is_points,
     )
     refined = refine_distance(pairs).filter(F.col("dist_m") <= F.lit(params.threshold_m))
     capped = knn.top_k(refined, "image_id",

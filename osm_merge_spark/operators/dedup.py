@@ -60,11 +60,19 @@ def exact_groups_sql(table: str = "documents", text_col: str = "text",
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    ws = text.words(F.col(text_col))
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(text.shingles(ws, k)).alias("sh"))
-        .distinct()
+    from ..functions.barrier import eval_once
+
+    # barrier: the shingle builder indexes the words array 3×/shingle —
+    # inlining would re-split the document for every element_at
+    w = eval_once(
+        df.select(
+            F.col(id_col).alias("doc"), text.words(F.col(text_col)).alias("ws")
+        ),
+        ["ws"],
     )
+    return w.select(
+        "doc", F.explode(text.shingles(F.col("ws"), k)).alias("sh")
+    ).distinct()
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -131,10 +139,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
                        num_hashes: int = NUM_HASHES) -> DataFrame:
     """(doc, s0..s{n-1}) — all minima in ONE aggregation (single shuffle)."""
+    from ..functions.barrier import eval_once
+
     sh = _doc_shingles(df, text_col, id_col, k)
-    h = hashes.md5i(F.col("sh"), 8)
+    # barrier: all 8 permutations reference the same base md5 hash — without
+    # it Catalyst inlines the md5 into each min() and computes it 8×/row
+    sh = eval_once(sh.withColumn("h", hashes.md5i(F.col("sh"), 8)), ["h"])
     aggs = [
-        F.min(hashes.minhash_perm(h, a, b)).alias(f"s{i}")
+        F.min(hashes.minhash_perm(F.col("h"), a, b)).alias(f"s{i}")
         for i, (a, b) in enumerate(hashes.minhash_params(num_hashes))
     ]
     return sh.groupBy("doc").agg(*aggs)
@@ -201,10 +213,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash over token 16-bit md5 hashes: bit i of the signature
     is the sign of sum(±1) over tokens. One explode + one groupBy."""
-    ws = text.words(F.col(text_col))
-    tok = df.select(
-        F.col(id_col).alias("doc"), F.explode(ws).alias("w")
-    ).withColumn("h", hashes.md5i(F.col("w"), bits // 4))
+    from ..functions.barrier import eval_once
+
+    tok = eval_once(
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(text.words(F.col(text_col))).alias("w"),
+        ).withColumn("h", hashes.md5i(F.col("w"), bits // 4)),
+        ["h"],
+    )
     bit_sums = [
         F.sum(
             F.when((F.col("h") % F.lit(1 << (i + 1))) >= F.lit(1 << i), F.lit(1))

@@ -75,10 +75,23 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     final per-qid top-k, already cut to k·partitions rows by the window's
     partial evaluation.
     """
-    pairs = emb.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
-    ).join(F.broadcast(queries), F.col("qid") != F.col("nid"))
-    scored = pairs.withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
+    from ..functions.barrier import eval_once
+
+    # precompute each side's norm ONCE (N + Q evaluations) instead of
+    # folding both norms again for every one of the N·Q pairs
+    n_side = eval_once(
+        emb.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+        ).withColumn("nn", F.sqrt(_norm2(F.col("nvec")))),
+        ["nn"],
+    )
+    q_side = eval_once(
+        queries.withColumn("qn", F.sqrt(_norm2(F.col("qvec")))), ["qn"]
+    )
+    pairs = n_side.join(F.broadcast(q_side), F.col("qid") != F.col("nid"))
+    scored = pairs.withColumn(
+        "cos", _dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

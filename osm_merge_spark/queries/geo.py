@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 
 from ..functions import fuzzy, geo
 from ..functions.cells import CellGrid, TileGrid
-from ..functions.kernels import point_in_polygon_udf
 from ..operators import cell_join
 from . import base
 
@@ -77,7 +76,8 @@ def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"xs": F.array("s_lon"), "ys": F.array("s_lat")}
     )
     pairs = cell_join.candidate_pairs(
-        img, lyr, GRID, p_key="image_id", s_key="feature_id"
+        img, lyr, GRID, p_key="image_id", s_key="feature_id",
+        secondary_points=True,
     )
     return pairs.withColumn(
         "dist",
@@ -215,11 +215,14 @@ def _sql_conflate_new() -> str:
 # aoi_clip — F6: exact ray-cast point-in-polygon against the AOI boundary
 # ---------------------------------------------------------------------------
 def q_aoi_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    img = base.images_df(spark, sf_dir)
-    pip = point_in_polygon_udf(
-        [p[0] for p in base.AOI_RING], [p[1] for p in base.AOI_RING]
-    )
-    return img.filter(pip(F.col("lon"), F.col("lat"))).select(
+    from ..functions.barrier import eval_once
+
+    # barrier: the ray-cast parity sum reads lon/lat ~18× — without it
+    # Catalyst inlines the derived CASE trees into every edge term
+    img = eval_once(base.images_df(spark, sf_dir), ["lon", "lat"])
+    return img.filter(
+        geo.point_in_fixed_ring(F.col("lon"), F.col("lat"), base.AOI_RING)
+    ).select(
         "image_id", F.round("lon", 6).alias("lon6"), F.round("lat", 6).alias("lat6")
     )
 

@@ -38,7 +38,8 @@ def q_knn_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"xs": F.array("s_lon"), "ys": F.array("s_lat")}
     )
     pairs = cell_join.candidate_pairs(
-        img, lyr, GRID100, p_key="image_id", s_key="feature_id"
+        img, lyr, GRID100, p_key="image_id", s_key="feature_id",
+        secondary_points=True,
     ).withColumn(
         "dist",
         geo.haversine_m(F.col("lon"), F.col("lat"), F.col("s_lon"), F.col("s_lat")),

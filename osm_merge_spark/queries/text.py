@@ -39,8 +39,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- text quality ------------------------------------------------------------
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir)
-    ws = text.words(F.col("text"))
+    from ..functions.barrier import eval_once
+
+    df = eval_once(
+        _docs(spark, sf_dir).withColumn("ws", text.words(F.col("text"))), ["ws"]
+    )
+    ws = F.col("ws")
     nw = F.size(ws)
     char_sum = F.aggregate(
         F.transform(ws, lambda w: F.length(w).cast("long")),
@@ -85,9 +89,12 @@ def _sql_text_quality() -> str:
 
 # -- language ID -------------------------------------------------------------
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir)
-    ws = text.words(F.col("text"))
-    return df.select("doc_id", text.lang_pred(ws).alias("pred_lang"))
+    from ..functions.barrier import eval_once
+
+    df = eval_once(
+        _docs(spark, sf_dir).withColumn("ws", text.words(F.col("text"))), ["ws"]
+    )
+    return df.select("doc_id", text.lang_pred(F.col("ws")).alias("pred_lang"))
 
 
 def _sql_lang_id() -> str:
