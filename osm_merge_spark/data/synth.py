@@ -69,15 +69,27 @@ def _caption(i):
     return F.concat_ws(" ", _pick(_W1, _h(i, "w1")), _pick(_W2, _h(i, "w2")), _pick(_SUF, _h(i, "w3")))
 
 
-def _position(i):
+def _hot_spread(n: int) -> float:
+    """Hot-cluster box side (degrees), scaled with sqrt(n) so the cluster
+    DENSITY is constant in n: the hot cells stay ~3 orders of magnitude
+    denser than the uniform background (real skew), but per-image candidate
+    counts — and therefore join work — stay O(1), not O(n). A fixed box
+    would make the hot cross-product quadratic and no partitioning strategy
+    could save it (it's genuinely O(n²) output)."""
+    import math
+
+    return 0.0009 * math.sqrt(max(n, 2000) / 2000.0)
+
+
+def _position(i, spread: float = 0.0009):
     """(lon, lat) columns for image index i — hot cluster or uniform AOI."""
     h1, h2 = _h(i, "lon"), _h(i, "lat")
     u1 = (h1 % F.lit(1_000_000)).cast("double") / F.lit(1_000_000.0)
     u2 = (h2 % F.lit(1_000_000)).cast("double") / F.lit(1_000_000.0)
     hot = (i % F.lit(HOT_FRAC_MOD)) == F.lit(0)
-    lon = F.when(hot, F.lit(HOT_LON) + (u1 - F.lit(0.5)) * F.lit(0.0009)) \
+    lon = F.when(hot, F.lit(HOT_LON) + (u1 - F.lit(0.5)) * F.lit(spread)) \
         .otherwise(F.lit(LON_MIN) + u1 * F.lit(LON_MAX - LON_MIN))
-    lat = F.when(hot, F.lit(HOT_LAT) + (u2 - F.lit(0.5)) * F.lit(0.0009)) \
+    lat = F.when(hot, F.lit(HOT_LAT) + (u2 - F.lit(0.5)) * F.lit(spread)) \
         .otherwise(F.lit(LAT_MIN) + u2 * F.lit(LAT_MAX - LAT_MIN))
     return lon, lat
 
@@ -86,7 +98,7 @@ def synth_images(spark: SparkSession, n: int, with_bytes: bool = False,
                  w: int = 16, h: int = 16) -> DataFrame:
     """The primary table per BASELINE.json input_hint."""
     df = spark.range(n).withColumnRenamed("id", "i")
-    lon, lat = _position(F.col("i"))
+    lon, lat = _position(F.col("i"), _hot_spread(n))
     out = df.select(
         F.concat(F.lit("img-"), F.col("i")).alias("image_id"),
         F.lit(w).cast("int").alias("w"),
@@ -153,7 +165,7 @@ def synth_layer(spark: SparkSession, n_images: int, threshold_m: float = DEFAULT
 
     n_decoys = int(n_images * decoy_frac)
     dec = spark.range(n_decoys).withColumnRenamed("id", "i")
-    dlon2, dlat2 = _position((F.col("i") + F.lit(7_777_777)))
+    dlon2, dlat2 = _position((F.col("i") + F.lit(7_777_777)), _hot_spread(n_images))
     decoys = dec.select(
         (F.col("i") + 1 + n_images).alias("feature_id"),
         F.lit(1).alias("version"),

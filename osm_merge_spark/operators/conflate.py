@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 from ..functions import fuzzy, geo
 from ..functions.cells import CellGrid
-from ..functions.kernels import point_polyline_dist
 from . import cell_join, knn
 
 
@@ -46,13 +45,38 @@ class ConflateParams:
     use_indel_ratio: bool = True  # exact fuzz.ratio kernel vs native lev approx
 
 
+def point_polyline_dist_native(px, py, xs, ys) -> F.Column:
+    """Min point→segment distance over a packed polyline as a PURE Catalyst
+    expression: clamped projection onto each segment, array_min over
+    segments. Same math as kernels.point_polyline_dist (the Arrow kernel
+    stays as the test oracle) but runs inside codegen — at 18M candidate
+    pairs the per-row Python loop was the single hottest spot in the whole
+    engine. Inputs must be planar (pre-projected) coordinates."""
+
+    def seg(k):
+        ax, ay = F.element_at(xs, k), F.element_at(ys, k)
+        # try_element_at: a 1-point geometry has no k+1 vertex (ANSI mode)
+        bx = F.coalesce(F.try_element_at(xs, k + 1), ax)
+        by = F.coalesce(F.try_element_at(ys, k + 1), ay)
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        t_raw = ((px - ax) * dx + (py - ay) * dy) / seg2
+        t = F.when(seg2 == F.lit(0.0), F.lit(0.0)).otherwise(
+            F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+        )
+        cx, cy = ax + t * dx, ay + t * dy
+        return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+
+    nseg = F.greatest(F.size(xs) - 1, F.lit(1))
+    return F.array_min(F.transform(F.sequence(F.lit(1), nseg), seg))
+
+
 def refine_distance(pairs: DataFrame, p_lon: str = "lon", p_lat: str = "lat") -> DataFrame:
     """Exact distance in meters for candidate pairs (X2/X3).
 
-    Points: haversine (pure Catalyst). Lines/rings: planar point→polyline
-    in mercator meters × cos(lat) local-scale correction — runs only on the
-    post-join candidate set, which the cell join already cut to ~0.001% of
-    the cross product.
+    Points: haversine. Lines/rings: planar point→polyline in mercator
+    meters × cos(lat) local-scale correction. All native column math —
+    no Python anywhere in the refine stage.
     """
     s_lon1 = F.element_at("xs", 1)
     s_lat1 = F.element_at("ys", 1)
@@ -61,7 +85,7 @@ def refine_distance(pairs: DataFrame, p_lon: str = "lon", p_lat: str = "lat") ->
     merc_py = geo.mercator_y(F.col(p_lat))
     merc_xs = F.transform("xs", lambda x: geo.mercator_x(x))
     merc_ys = F.transform("ys", lambda y: geo.mercator_y(y))
-    line_d = point_polyline_dist(merc_px, merc_py, merc_xs, merc_ys) * F.cos(
+    line_d = point_polyline_dist_native(merc_px, merc_py, merc_xs, merc_ys) * F.cos(
         F.radians(F.col(p_lat))
     )
     return pairs.withColumn(
@@ -163,8 +187,16 @@ def conflate(images: DataFrame, layer: DataFrame,
          .withColumnRenamed("caption", "s_caption")
          .withColumn("s_ref", F.element_at("s_tags", "ref:usfs")))
 
+    # SLIM join: only ids + coordinates flow through the cell join, the
+    # 9× ring explode, the refine, and the top-5 window — captions/tag
+    # maps/versions re-attach AFTER capping, when the row count is back to
+    # ≤5·|images|. Payload-wide candidate rows were both the dominant
+    # shuffle volume and (when AQE broadcasts the layer) a serial
+    # driver-side hash build of the full payload.
+    p_slim = p.select("image_id", "lon", "lat")
+    s_slim = s.select("feature_id", "xs", "ys")
     pairs = cell_join.candidate_pairs(
-        p, s, grid,
+        p_slim, s_slim, grid,
         broadcast_secondary=broadcast_layer,
         n_salt=params.n_salt, hot_threshold=params.hot_threshold,
         secondary_points=layer_is_points,
@@ -172,7 +204,13 @@ def conflate(images: DataFrame, layer: DataFrame,
     refined = refine_distance(pairs).filter(F.col("dist_m") <= F.lit(params.threshold_m))
     capped = knn.top_k(refined, "image_id",
                        [F.asc("dist_m"), F.asc("feature_id")], params.candidate_cap)
-    scored = score_hits(capped, params)
+    enriched = capped.drop("xs", "ys").join(
+        p.select("image_id", "caption", "p_tags", "p_ref"), "image_id"
+    ).join(
+        s.select("feature_id", "s_caption", "s_tags", "s_ref", "version"),
+        "feature_id",
+    )
+    scored = score_hits(enriched, params)
     best = knn.best_candidate(scored, "image_id")
 
     matched = best.select(

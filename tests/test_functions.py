@@ -201,3 +201,29 @@ def test_polygon_intersection_area(spark):
     got = [r["a"] for r in df.select(kernels.polygon_intersection_area(
         F.col("xs1"), F.col("ys1"), F.col("xs2"), F.col("ys2")).alias("a")).collect()]
     assert got == pytest.approx([0.25, 1.0, 0.0])
+
+
+def test_point_polyline_dist_native_matches_arrow_kernel(spark):
+    """The codegen'd polyline distance must agree with the Arrow kernel
+    (which is itself oracle-tested) to float precision."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.functions.kernels import point_polyline_dist
+    from osm_merge_spark.operators.conflate import point_polyline_dist_native
+
+    random.seed(7)
+    rows = []
+    for i in range(300):
+        npts = random.choice([1, 2, 3, 5])
+        xs = [random.uniform(-100, 100) for _ in range(npts)]
+        ys = [random.uniform(-100, 100) for _ in range(npts)]
+        rows.append((random.uniform(-100, 100), random.uniform(-100, 100), xs, ys))
+    df = spark.createDataFrame(rows, ["px", "py", "xs", "ys"])
+    out = df.select(
+        point_polyline_dist_native(F.col("px"), F.col("py"), F.col("xs"), F.col("ys")).alias("nat"),
+        point_polyline_dist(F.col("px"), F.col("py"), F.col("xs"), F.col("ys")).alias("udf"),
+    ).collect()
+    for r in out:
+        assert abs(r.nat - r.udf) <= 1e-9 * max(1.0, abs(r.udf)), (r.nat, r.udf)
