@@ -89,11 +89,56 @@ def indel_ratio_oracle(a: str, b: str) -> float:
     return 100.0 * (2.0 * prev[n]) / (m + n)
 
 
+def _indel_ratio_batch(av: list[str], bv: list[str]) -> np.ndarray:
+    """Exact fuzz.ratio for a whole Arrow batch at once.
+
+    The LCS DP is vectorized across the BATCH dimension: the i×j loops run
+    over the (short) string lengths while every numpy op covers all rows —
+    ~max_m·max_n numpy dispatches per 10k-row batch instead of one DP per
+    row (≈100× fewer interpreter entries; this kernel is the engine's
+    hottest Python after the distance refine went native).
+
+    Padding is sound: A pads with 0, B with 1 (never equal, never equal to
+    real codepoints ≥ 32), and an all-false match row leaves the DP's
+    running maximum unchanged, so each row reads its own (m_i, n_i) cell.
+    """
+    B = len(av)
+    if B == 0:
+        return np.empty(0, dtype=np.float64)
+    m = np.fromiter((len(s) for s in av), dtype=np.int64, count=B)
+    n = np.fromiter((len(s) for s in bv), dtype=np.int64, count=B)
+    max_m, max_n = int(m.max()), int(n.max())
+    out = np.full(B, 100.0, dtype=np.float64)  # both empty → 100
+    if max_m == 0 or max_n == 0:
+        out[(m + n > 0)] = 0.0
+        return out
+    A = np.zeros((B, max_m), dtype=np.uint32)
+    Bm = np.ones((B, max_n), dtype=np.uint32)
+    for r in range(B):
+        s = av[r]
+        if s:
+            A[r, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        t = bv[r]
+        if t:
+            Bm[r, : len(t)] = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.zeros((B, max_n + 1), dtype=np.int32)
+    cur = np.zeros((B, max_n + 1), dtype=np.int32)
+    for i in range(1, max_m + 1):
+        match = A[:, i - 1 : i] == Bm  # (B, max_n)
+        cur[:, 0] = 0
+        for j in range(1, max_n + 1):
+            np.maximum(prev[:, j], cur[:, j - 1], out=cur[:, j])
+            np.maximum(cur[:, j], prev[:, j - 1] + match[:, j - 1], out=cur[:, j])
+        prev, cur = cur, prev
+    lcs = prev[np.arange(B), n]
+    nonzero = (m + n) > 0
+    out[nonzero] = 200.0 * lcs[nonzero] / (m + n)[nonzero]
+    return out
+
+
 @pandas_udf(DoubleType())
 def ratio_indel(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched exact fuzz.ratio (see _indel_ratio_py)."""
-    out = np.empty(len(a), dtype=np.float64)
-    av, bv = a.fillna(""), b.fillna("")
-    for i in range(len(a)):
-        out[i] = _indel_ratio_py(av.iat[i], bv.iat[i])
-    return pd.Series(out)
+    """Arrow-batched exact fuzz.ratio (batched LCS, see _indel_ratio_batch)."""
+    av = [s.lower() for s in a.fillna("")]
+    bv = [s.lower() for s in b.fillna("")]
+    return pd.Series(_indel_ratio_batch(av, bv))

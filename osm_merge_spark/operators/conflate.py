@@ -164,6 +164,18 @@ def new_features(p: DataFrame, matched_keys: DataFrame) -> DataFrame:
     )
 
 
+def suppress_identical(matched: DataFrame) -> DataFrame:
+    """U2 (conflator.py:236-247): drop matches whose incoming tags add
+    nothing over the existing feature's tags — the reference skips emitting
+    them because there is nothing to edit. Expects p_tags/s_tags columns
+    (apply before the final projection)."""
+    p, s = F.col("p_tags"), F.col("s_tags")
+    subset_of_s = F.forall(
+        F.map_entries(p), lambda e: F.element_at(s, e["key"]).eqNullSafe(e["value"])
+    )
+    return matched.filter(~subset_of_s)
+
+
 def conflate(images: DataFrame, layer: DataFrame,
              params: ConflateParams = ConflateParams(),
              broadcast_layer: bool | None = None,

@@ -132,3 +132,79 @@ def test_match_and_version_semantics(spark):
     assert all(r["tags"]["informal"] == "yes" for r in n)
     # every image lands in exactly one of the two outputs
     assert len(m) + len(n) == 100
+
+
+def test_suppress_identical_props(spark):
+    """U2: a match whose incoming tags are already a subset of the existing
+    feature's tags is suppressed (nothing to edit)."""
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.operators.conflate import suppress_identical
+
+    rows = [
+        ("a", {"name": "Cedar Lake Road"}, {"name": "Cedar Lake Road", "surface": "dirt"}),
+        ("b", {"name": "Pine Creek Trail"}, {"name": "Pine Ck Trail"}),
+        ("c", {"name": "Elk Ridge", "ref": "FR 12"}, {"name": "Elk Ridge"}),
+    ]
+    df = spark.createDataFrame(rows, ["image_id", "p_tags", "s_tags"])
+    kept = {r.image_id for r in suppress_identical(df).collect()}
+    assert kept == {"b", "c"}  # 'a' adds nothing → suppressed
+
+
+def test_salted_join_balances_hot_cells(spark):
+    """North-rule skew handling: with the hot cluster planted, the salted
+    shuffle join must spread each hot cell's pairs over n_salt sub-keys —
+    verified by per-partition output counts."""
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.data.synth import synth_images, synth_layer
+    from osm_merge_spark.functions.cells import CellGrid
+    from osm_merge_spark.operators import cell_join
+    from osm_merge_spark.operators.conflate import prepare_images
+
+    n = 4000
+    # coarse grid (~100 m cells): the whole hot cluster lands in ONE cell —
+    # the genuine single-hot-key scenario salting exists for. Point-only
+    # layer → the points fast path, whose output partitioning IS the join
+    # exchange (the generic path's pair-dedup would re-shuffle uniformly
+    # and mask the layout under test).
+    grid = CellGrid.for_radius(100.0, max_abs_lat=70.0)
+    p = prepare_images(synth_images(spark, n)).select("image_id", "lon", "lat")
+    s = synth_layer(spark, n).filter(F.size("xs") == 1).select(
+        "feature_id", "xs", "ys"
+    )
+
+    def partition_counts(df):
+        return [
+            r["count"]
+            for r in df.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+        ]
+
+    # AQE's coalescing would merge the (tiny) test shuffle into one
+    # partition and mask the layout; the skew question is about the raw
+    # hash distribution of the join keys.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # ...and force real shuffle joins — static broadcast planning would
+    # bypass the exchange whose layout we're asserting on
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        unsalted = cell_join.candidate_pairs(
+            p, s, grid, broadcast_secondary=None, secondary_points=True
+        )
+        salted = cell_join.candidate_pairs(
+            p, s, grid, broadcast_secondary=False, n_salt=8, hot_threshold=50,
+            secondary_points=True,
+        )
+        cu = partition_counts(unsalted)
+        cs = partition_counts(salted)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert sum(cu) == sum(cs) > 0  # same pair set either way
+    # the hot cluster concentrates ~90%+ of all pairs into ~9 ring cells →
+    # without salting a couple of shuffle partitions dominate; salting
+    # multiplies the hot keys by n_salt and must flatten the layout.
+    assert max(cs) / sum(cs) < max(cu) / sum(cu)
+    assert max(cs) / sum(cs) < 0.15, (max(cs), sum(cs), cs)
