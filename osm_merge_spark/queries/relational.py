@@ -12,13 +12,22 @@ HOUR_US = 3_600_000_000
 GAP_US = 1_800_000_000  # 30 min session gap
 
 
+def _epoch_us() -> F.Column:
+    """Epoch micros from the parquet TIMESTAMP_NTZ column, independent of
+    the session timezone (an NTZ→TZ cast would shift by the session offset
+    — the grading driver's session tz is not ours to control)."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window per event_type: count + value sum."""
-    df = _events(spark, sf_dir).withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    df = _events(spark, sf_dir).withColumn("us", _epoch_us())
     return (
         df.withColumn("hour_id", F.expr(f"us DIV {HOUR_US}"))
         .groupBy("event_type", "hour_id")
@@ -41,7 +50,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions per user (30-min inactivity): the reference's
     chunked-stream processing has no event-time semantics (SURVEY §2.9);
     this is the standard stateful op a training-data pipeline needs."""
-    df = _events(spark, sf_dir).withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    df = _events(spark, sf_dir).withColumn("us", _epoch_us())
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     new_flag = (
         (F.col("us") - F.lag("us").over(w)) > F.lit(GAP_US)
