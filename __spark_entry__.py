@@ -19,8 +19,21 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from osm_merge_spark.queries import registry  # noqa: E402
+from osm_merge_spark.session import _ship_package  # noqa: E402
 
 _TESTDATA_SF0001 = "/root/testdata/sf0.001"
+
+
+def _wrap(fn):
+    """Ship the package zip to executors on whatever session the driver
+    hands us — its python workers can't otherwise import the module-level
+    pandas UDFs (the driver session didn't run our get_spark)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,6 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from osm_merge_spark.operators.conflate import ConflateParams, conflate
     from osm_merge_spark.queries import base
+
+    _ship_package(spark)
 
     img = base.images_df(spark, _TESTDATA_SF0001)
     lyr = base.layer_df(spark, _TESTDATA_SF0001).select(
@@ -50,7 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in registry().items()}
+    return {name: _wrap(fn) for name, (fn, _sql) in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -101,7 +101,7 @@ def run_scaling_job(cpus: str, n_images: int) -> dict:
     # shared box (GC, page-cache, codegen-compile noise)
     n_matched = matched.count()
     walls = []
-    for _ in range(3):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))):
         t0 = time.perf_counter()
         matched.count()
         walls.append(time.perf_counter() - t0)
@@ -124,10 +124,15 @@ def run_scaling(sf_dir: str, levels: tuple[str, str] = ("8", "32")) -> dict:
     results = {}
     for cpus in levels:
         env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
-            env=env, capture_output=True, text=True, check=True,
-        )
+        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-worker"]
+        if os.path.exists("/usr/bin/taskset"):
+            # pin the whole process tree (JVM GC threads, python workers,
+            # shuffle IO) to the advertised core budget — otherwise the
+            # "8-core cluster" silently borrows the other 24 physical
+            # cores for GC/driver work and the baseline is inflated
+            cmd = ["/usr/bin/taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True)
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
     lo, hi = levels
     thr_lo = results[lo]["throughput_rows_per_sec"]
