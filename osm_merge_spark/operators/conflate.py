@@ -207,12 +207,26 @@ def conflate(images: DataFrame, layer: DataFrame,
     # driver-side hash build of the full payload.
     p_slim = p.select("image_id", "lon", "lat")
     s_slim = s.select("feature_id", "xs", "ys")
-    pairs = cell_join.candidate_pairs(
-        p_slim, s_slim, grid,
-        broadcast_secondary=broadcast_layer,
-        n_salt=params.n_salt, hot_threshold=params.hot_threshold,
-        secondary_points=layer_is_points,
-    )
+
+    def join_part(s_part: DataFrame, pts: bool) -> DataFrame:
+        return cell_join.candidate_pairs(
+            p_slim, s_part, grid,
+            broadcast_secondary=broadcast_layer,
+            n_salt=params.n_salt, hot_threshold=params.hot_threshold,
+            secondary_points=pts,
+        )
+
+    if layer_is_points:
+        pairs = join_part(s_slim, True)
+    else:
+        # mixed layers split by geometry: point features (the vast
+        # majority in real layers) take the dedup-free fast path; only
+        # line/ring features pay the covering-cells explode + pair-dedup
+        # sort. At 4M images the undivided generic path sorts the FULL
+        # candidate set (~74M rows) just to dedup the ~10% line pairs.
+        pairs = join_part(s_slim.filter(F.size("xs") == 1), True).unionByName(
+            join_part(s_slim.filter(F.size("xs") > 1), False)
+        )
     refined = refine_distance(pairs).filter(F.col("dist_m") <= F.lit(params.threshold_m))
     capped = knn.top_k(refined, "image_id",
                        [F.asc("dist_m"), F.asc("feature_id")], params.candidate_cap)

@@ -1,0 +1,57 @@
+"""Table IO abstraction — Iceberg when the runtime has a catalog, identical
+parquet layout otherwise (SURVEY §7.3-5).
+
+The north rule's input is "Iceberg tables of image+caption pairs". In this
+sandbox no Iceberg runtime jar ships, so the engine programs against this
+thin seam: `write_table`/`read_table` use the Iceberg source when
+`iceberg_available()` (catalog configured + jar present), else parquet with
+the same partition spec. Pipeline semantics that Iceberg would provide —
+atomic snapshot commits per stage and resumability — are implemented
+explicitly in plans/pipeline.py (tmp+rename commit + manifest), so moving
+to a real catalog only swaps this module's backend.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff an Iceberg catalog is configured and the runtime jar loads."""
+    conf = spark.sparkContext.getConf()
+    has_catalog = any(
+        k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower()
+        for k, v in conf.getAll()
+    )
+    if not has_catalog:
+        return False
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def write_table(df: DataFrame, target: str, partition_by: list[str] | None = None,
+                mode: str = "overwrite") -> None:
+    """target: an Iceberg table identifier (catalog.db.tbl) when Iceberg is
+    available, else a filesystem path for parquet."""
+    spark = df.sparkSession
+    if iceberg_available(spark):
+        writer = df.writeTo(target)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        return
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target)
+
+
+def read_table(spark: SparkSession, target: str) -> DataFrame:
+    if iceberg_available(spark):
+        return spark.read.format("iceberg").load(target)
+    return spark.read.parquet(target)

@@ -131,3 +131,20 @@ def test_poly_writer(tmp_path):
     assert lines[0] == "aoi" and lines[1] == "1"
     assert lines[-2:] == ["END", "END"]
     assert len(lines) == 2 + 3 + 2
+
+
+def test_table_io_abstraction(spark, tmp_path):
+    """tables.write_table/read_table: parquet layout fallback when no
+    Iceberg catalog is configured (this sandbox)."""
+    from osm_merge_spark.data.synth import synth_images
+    from osm_merge_spark.sources import tables
+
+    assert tables.iceberg_available(spark) is False
+    df = synth_images(spark, 50).withColumn(
+        "bucket", (F.col("i") % 4).cast("int")
+    )
+    target = str(tmp_path / "tbl")
+    tables.write_table(df, target, partition_by=["bucket"])
+    back = tables.read_table(spark, target)
+    assert back.count() == 50
+    assert len([d for d in os.listdir(target) if d.startswith("bucket=")]) == 4
