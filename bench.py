@@ -70,7 +70,7 @@ def run_once(sf_dir: str, cpus: str) -> dict:
     }
 
 
-SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1000000"))
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2000000"))
 
 
 def run_scaling_job(cpus: str, n_images: int) -> dict:

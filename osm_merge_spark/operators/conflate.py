@@ -205,7 +205,21 @@ def conflate(images: DataFrame, layer: DataFrame,
     # ≤5·|images|. Payload-wide candidate rows were both the dominant
     # shuffle volume and (when AQE broadcasts the layer) a serial
     # driver-side hash build of the full payload.
-    p_slim = p.select("image_id", "lon", "lat")
+    # images without an explicit tag map derive p_tags from the caption —
+    # carrying the (short) caption through the slim join then costs ~13
+    # bytes/row but saves a whole post-cap shuffle join (and its stage
+    # barrier); with a real tag map the join is the cheaper trade.
+    # Measured tradeoff (n=2M, pinned): carrying ALL scoring strings
+    # through the 78M-row candidate set costs more than the post-cap
+    # joins it saves (50s vs 31s at 8 cores). Keep candidates minimal;
+    # only the probe caption rides along when the image table has no tag
+    # map (it replaces a whole p-side join).
+    p_has_tags = "tags" in images.columns
+    p_slim = (
+        p.select("image_id", "lon", "lat")
+        if p_has_tags
+        else p.select("image_id", "lon", "lat", "caption")
+    )
     s_slim = s.select("feature_id", "xs", "ys")
 
     def join_part(s_part: DataFrame, pts: bool) -> DataFrame:
@@ -230,9 +244,17 @@ def conflate(images: DataFrame, layer: DataFrame,
     refined = refine_distance(pairs).filter(F.col("dist_m") <= F.lit(params.threshold_m))
     capped = knn.top_k(refined, "image_id",
                        [F.asc("dist_m"), F.asc("feature_id")], params.candidate_cap)
-    enriched = capped.drop("xs", "ys").join(
-        p.select("image_id", "caption", "p_tags", "p_ref"), "image_id"
-    ).join(
+    enriched = capped.drop("xs", "ys")
+    if p_has_tags:
+        enriched = enriched.join(
+            p.select("image_id", "caption", "p_tags", "p_ref"), "image_id"
+        )
+    else:
+        enriched = enriched.withColumn(
+            "p_tags",
+            F.map_from_arrays(F.array(F.lit("name")), F.array(F.col("caption"))),
+        ).withColumn("p_ref", F.lit(None).cast("string"))
+    enriched = enriched.join(
         s.select("feature_id", "s_caption", "s_tags", "s_ref", "version"),
         "feature_id",
     )
