@@ -70,7 +70,10 @@ def _sql_cell_stats() -> str:
 # ---------------------------------------------------------------------------
 def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs → exact haversine refine. One definition reused by
-    dist_join / conflate_best / conflate_new (same physical plan prefix)."""
+    dist_join / conflate_best / conflate_new (same physical plan prefix).
+    NOT persisted: measured at sf0.1, materializing the 2.6M-row pair set
+    costs more than the downstream queries save (the cached slim images
+    table already removes the expensive shared prefix)."""
     img = base.images_df(spark, sf_dir)
     lyr = base.layer_df(spark, sf_dir).withColumns(
         {"xs": F.array("s_lon"), "ys": F.array("s_lat")}
