@@ -282,7 +282,60 @@ def _sql_semi_ref_nodes() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# poi_dup — the reference's duplicate-POI finder (osm_merge/poidup.py:122:
+# flag a feature when another feature within `tolerance` meters carries the
+# SAME tag value; default tolerance 2 m, parameterized). Self cell-join +
+# exact caption equality + haversine refine.
+# ---------------------------------------------------------------------------
+POI_DUP_TOL_M = 25.0
+GRID_DUP = CellGrid.for_radius(POI_DUP_TOL_M, max_abs_lat=45.0)
+
+
+def q_poi_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lyr = base.layer_df(spark, sf_dir)
+    a = lyr.select(
+        F.col("feature_id").alias("f1"), F.col("s_lon").alias("lon1"),
+        F.col("s_lat").alias("lat1"), F.col("s_caption").alias("cap"),
+    ).withColumn(
+        "__jcell",
+        F.explode(GRID_DUP.ring1(GRID_DUP.encode(F.col("lon1"), F.col("lat1")))),
+    )
+    b = lyr.select(
+        F.col("feature_id").alias("f2"), F.col("s_lon").alias("lon2"),
+        F.col("s_lat").alias("lat2"), F.col("s_caption").alias("cap"),
+    ).withColumn("__jcell", GRID_DUP.encode(F.col("lon2"), F.col("lat2")))
+    pairs = (
+        a.join(b, ["__jcell", "cap"])
+        .filter(F.col("f1") < F.col("f2"))
+        .withColumn(
+            "dist",
+            geo.haversine_m(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")),
+        )
+        .filter(F.col("dist") < F.lit(POI_DUP_TOL_M))
+    )
+    return pairs.select("f1", "f2", F.round("dist", 3).alias("dist_m"))
+
+
+def _sql_poi_dup() -> str:
+    offs = ", ".join(str(o) for o in GRID_DUP.ring1_sql_values())
+    hav = geo.haversine_m_sql("a.s_lon", "a.s_lat", "b.s_lon", "b.s_lat")
+    return (
+        f"WITH lyr AS ({base.LAYER_SQL}), "
+        "pc AS (SELECT l.*, cell0 + off AS jcell FROM"
+        f" (SELECT *, {GRID_DUP.encode_sql('s_lon', 's_lat')} AS cell0 FROM lyr) l"
+        f" CROSS JOIN (SELECT unnest([{offs}]) AS off) o) "
+        "SELECT a.feature_id AS f1, b.feature_id AS f2,"
+        f" round({hav}, 3) AS dist_m FROM pc a JOIN"
+        f" (SELECT *, {GRID_DUP.encode_sql('s_lon', 's_lat')} AS jcell FROM lyr) b"
+        " ON a.jcell = b.jcell AND a.s_caption = b.s_caption"
+        " AND a.feature_id < b.feature_id"
+        f" WHERE {hav} < {geo.dlit(POI_DUP_TOL_M)}"
+    )
+
+
 QUERIES = {
+    "poi_dup": (q_poi_dup, _sql_poi_dup()),
     "knn_k3": (q_knn_k3, _sql_knn_k3()),
     "building_pairs": (q_building_pairs, _sql_building_pairs()),
     "building_new": (q_building_new, _sql_building_new()),

@@ -67,6 +67,38 @@ def session_events(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def conflate_stream(images_stream: DataFrame, layer: DataFrame,
+                    out_dir: str, checkpoint_dir: str,
+                    layer_is_points: bool = False):
+    """Streaming conflation of an image firehose against the static layer.
+
+    Stream-static: each micro-batch of images runs the full batch
+    conflation ladder against the (cached) layer via foreachBatch — the
+    per-image decision depends only on that image vs the layer, so chunked
+    execution is EXACTLY equivalent to one batch run (proven by test).
+    This is the reference's chunked conflation (conflator.py:766-788)
+    with durable checkpointing: a crashed stream resumes at the last
+    committed micro-batch.
+    """
+    from ..operators.conflate import ConflateParams, conflate
+
+    layer = layer.persist()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matched, new = conflate(
+            batch_df, layer, ConflateParams(), layer_is_points=layer_is_points
+        )
+        matched.write.mode("append").parquet(f"{out_dir}/matched")
+        new.write.mode("append").parquet(f"{out_dir}/new")
+
+    return (
+        images_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
                       output_mode: str = "complete",
                       query_name: str = "q") -> DataFrame:

@@ -67,3 +67,32 @@ def test_session_window_equals_lag_cumsum_sessionizer(spark, tmp_path):
     a = {(r.user_id, r.start_us): r.n_events for r in got.collect()}
     b = {(r.user_id, r.start_us): r.n_events for r in batch.collect()}
     assert a == b and len(a) > 0
+
+
+def test_streaming_conflation_equals_batch(spark, tmp_path):
+    """foreachBatch conflation over a chunked image stream must produce
+    exactly the batch result (per-image independence ⇒ chunk-invariant)."""
+    from osm_merge_spark.data.synth import synth_images, synth_layer
+    from osm_merge_spark.operators.conflate import ConflateParams, conflate
+
+    n = 600
+    images = synth_images(spark, n)
+    layer = synth_layer(spark, n)
+
+    src = str(tmp_path / "img_stream")
+    images.repartition(4).write.parquet(src)  # 4 files → multiple batches
+    schema = images.schema
+    stream = jobs.chunked_ingest(spark, src, schema, max_files_per_trigger=1)
+    out = str(tmp_path / "out")
+    q = jobs.conflate_stream(stream, layer, out, str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    got_matched = spark.read.parquet(f"{out}/matched")
+    got_new = spark.read.parquet(f"{out}/new")
+    want_matched, want_new = conflate(images, layer, ConflateParams())
+    gm = {(r.image_id, r.feature_id) for r in got_matched.collect()}
+    wm = {(r.image_id, r.feature_id) for r in want_matched.collect()}
+    assert gm == wm and len(gm) > 0
+    gn = {r.image_id for r in got_new.collect()}
+    wn = {r.image_id for r in want_new.collect()}
+    assert gn == wn and len(gn) > 0
