@@ -100,13 +100,14 @@ def run_scaling_job(cpus: str, n_images: int) -> dict:
     )
     images = synth_images(spark, n_images)
     layer = synth_layer(spark, n_images)
-    matched, _new = conflate(images, layer)
     # steady-state protocol: one warmup action (JIT + code cache), then
-    # min of 3 timed runs — single cold shots vary ±50% run to run on a
-    # shared box (GC, page-cache, codegen-compile noise)
-    n_matched = matched.count()
+    # min of N timed runs. Each rep builds a FRESH plan — re-counting the
+    # same DataFrame would silently reuse materialized shuffle outputs and
+    # measure only the post-shuffle suffix (verified in the event log).
+    n_matched = conflate(images, layer)[0].count()
     walls = []
     for _ in range(int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))):
+        matched, _new = conflate(images, layer)
         t0 = time.perf_counter()
         matched.count()
         walls.append(time.perf_counter() - t0)

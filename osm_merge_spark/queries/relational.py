@@ -84,7 +84,56 @@ def _sql_sessionize() -> str:
     )
 
 
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per market segment (ranking window over
+    a dimension join — the plain-relational sanity check)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment", F.col("rk").cast("int").alias("rk"),
+            "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+def _sql_top_orders() -> str:
+    return (
+        "SELECT c_mktsegment, CAST(rk AS INT) AS rk, o_orderkey,"
+        " round(o_totalprice, 2) AS totalprice FROM"
+        " (SELECT c_mktsegment, o_orderkey, o_totalprice, row_number() OVER"
+        " (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC)"
+        " AS rk FROM orders JOIN customer ON o_custkey = c_custkey) t"
+        " WHERE rk <= 3"
+    )
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (distinct aggregation)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count("*").alias("n_events"))
+    )
+
+
+def _sql_distinct_users() -> str:
+    return (
+        "SELECT event_type, count(DISTINCT user_id) AS n_users,"
+        " count(*) AS n_events FROM events GROUP BY 1"
+    )
+
+
 QUERIES = {
     "events_window": (q_events_window, _sql_events_window()),
     "sessionize": (q_sessionize, _sql_sessionize()),
+    "top_orders": (q_top_orders, _sql_top_orders()),
+    "distinct_users": (q_distinct_users, _sql_distinct_users()),
 }
