@@ -334,8 +334,98 @@ def _sql_poi_dup() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# knn_fallback — the conflatePOI flow (conflatePOI.py:418-424): try nodes
+# first (nearest point feature within threshold), fall back to ways
+# (nearest line feature) when no node matches.
+# ---------------------------------------------------------------------------
+def _nearest(img: DataFrame, feats: DataFrame, kind: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pairs = cell_join.candidate_pairs(
+        img, feats, GRID100, p_key="image_id", s_key="feature_id",
+        secondary_points=True,
+    ).withColumn(
+        "dist",
+        geo.haversine_m(F.col("lon"), F.col("lat"), F.col("s_lon"), F.col("s_lat")),
+    ).filter(F.col("dist") <= F.lit(KNN_RADIUS_M))
+    w = Window.partitionBy("image_id").orderBy(F.asc("dist"), F.asc("feature_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "image_id", F.lit(kind).alias("kind"),
+            F.col("feature_id").alias(f"{kind}_id"),
+            F.round("dist", 3).alias(f"{kind}_dist"),
+        )
+    )
+
+
+def q_knn_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir).select("image_id", "lon", "lat")
+    lyr = base.layer_df(spark, sf_dir)
+    # "nodes" = even feature ids, "ways" = odd (deterministic split of the
+    # derived layer into the two PostGIS views the reference queries)
+    nodes = lyr.filter(F.col("feature_id") % 2 == 0).withColumns(
+        {"xs": F.array("s_lon"), "ys": F.array("s_lat")}
+    )
+    ways = lyr.filter(F.col("feature_id") % 2 == 1).withColumns(
+        {"xs": F.array("s_lon"), "ys": F.array("s_lat")}
+    )
+    n1 = _nearest(img, nodes, "node")
+    w1 = _nearest(img, ways, "way")
+    out = img.join(n1.drop("kind"), "image_id", "left").join(
+        w1.drop("kind"), "image_id", "left"
+    )
+    matched = out.filter(
+        F.col("node_id").isNotNull() | F.col("way_id").isNotNull()
+    )
+    return matched.select(
+        "image_id",
+        F.when(F.col("node_id").isNotNull(), F.lit("node"))
+        .otherwise(F.lit("way")).alias("kind"),
+        F.coalesce("node_id", "way_id").alias("feature_id"),
+        F.coalesce("node_dist", "way_dist").alias("dist_m"),
+    )
+
+
+def _sql_knn_fallback() -> str:
+    offs = ", ".join(str(o) for o in GRID100.ring1_sql_values())
+    hav = geo.haversine_m_sql("lon", "lat", "s_lon", "s_lat")
+
+    def nearest(parity: int, alias: str) -> str:
+        return (
+            f"{alias} AS (SELECT image_id, feature_id, dist FROM (SELECT *,"
+            " row_number() OVER (PARTITION BY image_id ORDER BY dist ASC,"
+            " feature_id ASC) AS rk FROM ("
+            f"SELECT pc.image_id, l.feature_id, {geo.haversine_m_sql('pc.lon', 'pc.lat', 'l.s_lon', 'l.s_lat')} AS dist"
+            " FROM pc JOIN"
+            f" (SELECT *, {GRID100.encode_sql('s_lon', 's_lat')} AS jcell"
+            f" FROM lyr WHERE feature_id % 2 = {parity}) l"
+            " ON pc.jcell = l.jcell"
+            f" WHERE {geo.haversine_m_sql('pc.lon', 'pc.lat', 'l.s_lon', 'l.s_lat')}"
+            f" <= {geo.dlit(KNN_RADIUS_M)}) t) t2 WHERE rk = 1)"
+        )
+
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), lyr AS ({base.LAYER_SQL}), "
+        "pc AS (SELECT i.image_id, i.lon, i.lat, cell0 + off AS jcell FROM"
+        f" (SELECT *, {GRID100.encode_sql('lon', 'lat')} AS cell0 FROM img) i"
+        f" CROSS JOIN (SELECT unnest([{offs}]) AS off) o), "
+        f"{nearest(0, 'n1')}, {nearest(1, 'w1')} "
+        "SELECT i.image_id,"
+        " CASE WHEN n1.feature_id IS NOT NULL THEN 'node' ELSE 'way' END AS kind,"
+        " coalesce(n1.feature_id, w1.feature_id) AS feature_id,"
+        " round(coalesce(n1.dist, w1.dist), 3) AS dist_m"
+        " FROM img i LEFT JOIN n1 ON i.image_id = n1.image_id"
+        " LEFT JOIN w1 ON i.image_id = w1.image_id"
+        " WHERE n1.feature_id IS NOT NULL OR w1.feature_id IS NOT NULL"
+    )
+
+
 QUERIES = {
     "poi_dup": (q_poi_dup, _sql_poi_dup()),
+    "knn_fallback": (q_knn_fallback, _sql_knn_fallback()),
     "knn_k3": (q_knn_k3, _sql_knn_k3()),
     "building_pairs": (q_building_pairs, _sql_building_pairs()),
     "building_new": (q_building_new, _sql_building_new()),
