@@ -71,6 +71,7 @@ def candidate_pairs(
     n_salt: int = DEFAULT_SALT,
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
     secondary_points: bool = False,
+    ring_secondary: bool = False,
 ) -> DataFrame:
     """Primary points × secondary geometries candidate pairs via cell join.
 
@@ -82,6 +83,29 @@ def candidate_pairs(
     plan is a simple small scan (AQE will demote if oversized); True/False
     forces. The salted path is taken only for the shuffle strategy.
     """
+    if ring_secondary and secondary_points:
+        # Ring-1 coverage is symmetric: pairs within one cell edge meet
+        # whether the probe or the build side is dilated. Ringing the
+        # SMALLER side (typically the feature layer: 10-100× fewer rows
+        # than the image stream) keeps the big side un-exploded — 9× less
+        # join input on the dominant side.
+        p = primary.withColumn(
+            "__jcell", grid.encode(F.col(p_lon), F.col(p_lat))
+        )
+        s = secondary.withColumn(
+            "__jcell",
+            F.explode(
+                grid.ring1(grid.encode(F.element_at(s_xs, 1), F.element_at(s_ys, 1)))
+            ),
+        )
+        if broadcast_secondary:
+            return p.join(F.broadcast(s), "__jcell").drop("__jcell")
+        if broadcast_secondary is None:
+            return p.join(s, "__jcell").drop("__jcell")
+        return _salted_join(p, s, p_key, n_salt, hot_threshold).drop(
+            "__jcell", "__salt"
+        )
+
     p = primary.withColumn(
         "__jcell", F.explode(grid.ring1(grid.encode(F.col(p_lon), F.col(p_lat))))
     )

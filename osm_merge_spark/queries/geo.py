@@ -80,7 +80,7 @@ def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = cell_join.candidate_pairs(
         img, lyr, GRID, p_key="image_id", s_key="feature_id",
-        secondary_points=True,
+        secondary_points=True, ring_secondary=True,  # layer is ~25× smaller
     )
     return pairs.withColumn(
         "dist",
@@ -89,14 +89,16 @@ def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_pairs() -> str:
+    # mirror of the ring_secondary=True engine plan: the (small) layer is
+    # dilated by the ring, images keep their single cell
     offs = ", ".join(str(o) for o in GRID.ring1_sql_values())
     return (
         f"img AS ({base.IMAGES_SQL}), lyr AS ({base.LAYER_SQL}), "
-        "pc AS (SELECT i.*, cell0 + off AS jcell FROM "
-        f"(SELECT *, {GRID.encode_sql('lon', 'lat')} AS cell0 FROM img) i "
+        f"pc AS (SELECT i.*, {GRID.encode_sql('lon', 'lat')} AS jcell FROM img i), "
+        "sc AS (SELECT l.*, cell0 + off AS jcell FROM "
+        f"(SELECT *, {GRID.encode_sql('s_lon', 's_lat')} AS cell0 FROM lyr) l "
         f"CROSS JOIN (SELECT unnest([{offs}]) AS off) o), "
-        f"sc AS (SELECT l.*, {GRID.encode_sql('s_lon', 's_lat')} AS jcell FROM lyr l), "
-        "pairs AS (SELECT DISTINCT image_id, ikey, caption, lon, lat,"
+        "pairs AS (SELECT image_id, ikey, caption, lon, lat,"
         " feature_id, version, s_lon, s_lat, s_caption"
         " FROM pc JOIN sc USING (jcell)), "
         "ref AS (SELECT *, "
