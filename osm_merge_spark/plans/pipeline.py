@@ -185,6 +185,7 @@ def conflation_pipeline(
     images: DataFrame,
     layer: DataFrame,
     tile_m: float = 50_000.0,
+    aoi_ring: list[tuple[float, float]] | None = None,
 ) -> dict[str, DataFrame]:
     """The flagship end-to-end pipeline as checkpoint-resumable stages:
     ingest-normalize → conflate (matched / new) → tile-assign → outputs.
@@ -197,6 +198,18 @@ def conflation_pipeline(
     from ..functions.cells import TileGrid
     from ..operators.conflate import ConflateParams, conflate
     from ..operators.tiles import assign_tiles
+
+    if aoi_ring is not None:
+        # boundary clip first (geosupport.py:139-173 clips DB views before
+        # any conflation) — native ray-cast, eval_once barrier since the
+        # parity sum reads the coordinates many times
+        from ..functions.barrier import eval_once
+        from ..functions.geo import point_in_fixed_ring
+
+        clipped = eval_once(images, ["lon", "lat"]).filter(
+            point_in_fixed_ring(F.col("lon"), F.col("lat"), aoi_ring)
+        )
+        images = clipped
 
     img_n = run_stage(
         ctx, "images_normalized", lambda s: images,

@@ -85,3 +85,17 @@ def test_conflation_pipeline_end_to_end_and_resume(spark, tmp_path):
         "images_normalized", "layer_normalized", "matched", "new_features",
     }
     assert out2["matched"].count() == n_matched
+
+
+def test_pipeline_with_aoi_clip(spark, tmp_path):
+    """aoi_ring clips the image stream before conflation (boundary-clip
+    stage, geosupport.py:139-173 semantics)."""
+    from osm_merge_spark.data import synth
+
+    ctx = _ctx(spark, tmp_path, "p4")
+    images = synth_images(spark, 300)
+    layer = synth_layer(spark, 300)
+    ring = list(zip(synth.AOI_RING_X[:-1], synth.AOI_RING_Y[:-1]))
+    out = conflation_pipeline(ctx, images, layer, tile_m=5000.0, aoi_ring=ring)
+    n_in = out["matched"].count() + out["new"].count()
+    assert 0 < n_in < 300  # NE-corner cut drops a slice of the images
