@@ -54,7 +54,39 @@ def _sql_ann_lsh_pairs() -> str:
     )
 
 
+NEAR_DUP_COS = 0.3  # random 64-d vectors: cos≥0.3 ≈ the top ~0.5% pair tail
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: LSH-bucketed candidate pairs
+    (scale path — never the N² cross product), refined by exact cosine
+    against the near-dup threshold; keep_id = the lower vec_id survives."""
+    pairs = similarity.lsh_candidate_pairs(_emb(spark, sf_dir), PLANES)
+    dups = pairs.filter(F.col("cos") >= NEAR_DUP_COS)
+    return dups.select(
+        F.col("v1").alias("keep_id"), F.col("v2").alias("dup_id"), "cos"
+    )
+
+
+def _sql_dedup_embedding() -> str:
+    sig = similarity.lsh_signature_sql("embedding", PLANES)
+    cos = similarity.cosine_sql("a.embedding", "b.embedding", DIM)
+    from ..functions.geo import dlit
+
+    return (
+        f"WITH sigs AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings) "
+        "SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,"
+        f" round({cos}, 6) AS cos FROM sigs a JOIN sigs b"
+        " ON a.sig = b.sig AND a.vec_id < b.vec_id"
+        # the engine filters the ROUNDED cosine (lsh_candidate_pairs
+        # output) — mirror exactly or the ~5e-7 band at the threshold
+        # diverges
+        f" WHERE round({cos}, 6) >= {dlit(NEAR_DUP_COS)}"
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, _sql_ann_cosine_topk()),
     "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh_pairs()),
+    "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
 }
