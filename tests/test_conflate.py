@@ -208,3 +208,29 @@ def test_salted_join_balances_hot_cells(spark):
     # multiplies the hot keys by n_salt and must flatten the layout.
     assert max(cs) / sum(cs) < max(cu) / sum(cu)
     assert max(cs) / sum(cs) < 0.15, (max(cs), sum(cs), cs)
+
+
+def test_salted_join_same_pairs_as_unsalted(spark):
+    """Salting must never change the candidate SET — only its layout."""
+    from osm_merge_spark.data.synth import synth_images, synth_layer
+    from osm_merge_spark.functions.cells import CellGrid
+    from osm_merge_spark.operators import cell_join
+    from osm_merge_spark.operators.conflate import prepare_images
+    from pyspark.sql import functions as F
+
+    n = 1500
+    grid = CellGrid.for_radius(60.0, max_abs_lat=70.0)
+    p = prepare_images(synth_images(spark, n)).select("image_id", "lon", "lat")
+    s = synth_layer(spark, n).filter(F.size("xs") == 1).select(
+        "feature_id", "xs", "ys"
+    )
+    plain = cell_join.candidate_pairs(
+        p, s, grid, broadcast_secondary=True, secondary_points=True
+    )
+    salted = cell_join.candidate_pairs(
+        p, s, grid, broadcast_secondary=False, n_salt=8, hot_threshold=20,
+        secondary_points=True,
+    )
+    a = {(r.image_id, r.feature_id) for r in plain.collect()}
+    b = {(r.image_id, r.feature_id) for r in salted.collect()}
+    assert a == b and len(a) > 0
