@@ -131,7 +131,38 @@ def _sql_distinct_users() -> str:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(event_type, day) — grouping-sets capability beyond the
+    reference (which has none; SURVEY §2.4)."""
+    df = _events(spark, sf_dir).withColumn(
+        "day", (F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ"
+                       f" '1970-01-01 00:00:00', ts)") / F.lit(86_400_000_000)
+                ).cast("long")
+    )
+    return (
+        df.rollup("event_type", "day")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("<all>")).alias("day"),
+            "n", "sum_value",
+        )
+    )
+
+
+def _sql_events_rollup() -> str:
+    day = "CAST(epoch_us(ts) // 86400000000 AS BIGINT)"
+    return (
+        f"WITH e AS (SELECT event_type, {day} AS day, value FROM events) "
+        "SELECT coalesce(event_type, '<all>') AS event_type,"
+        " coalesce(CAST(day AS VARCHAR), '<all>') AS day,"
+        " count(*) AS n, round(sum(value), 2) AS sum_value"
+        " FROM e GROUP BY ROLLUP(event_type, day)"
+    )
+
+
 QUERIES = {
+    "events_rollup": (q_events_rollup, _sql_events_rollup()),
     "events_window": (q_events_window, _sql_events_window()),
     "sessionize": (q_sessionize, _sql_sessionize()),
     "top_orders": (q_top_orders, _sql_top_orders()),
