@@ -98,9 +98,11 @@ def _indel_ratio_batch(av: list[str], bv: list[str]) -> np.ndarray:
     row (≈100× fewer interpreter entries; this kernel is the engine's
     hottest Python after the distance refine went native).
 
-    Padding is sound: A pads with 0, B with 1 (never equal, never equal to
-    real codepoints ≥ 32), and an all-false match row leaves the DP's
-    running maximum unchanged, so each row reads its own (m_i, n_i) cell.
+    Padding is sound: A pads with 0x110000 and B with 0x110001 — sentinels
+    ABOVE the Unicode range (max real codepoint is 0x10FFFF), so no string
+    content (including NUL) can ever equal either pad, and the two pads
+    never equal each other; an all-false match row leaves the DP's running
+    maximum unchanged, so each row reads its own (m_i, n_i) cell.
     """
     B = len(av)
     if B == 0:
@@ -112,8 +114,8 @@ def _indel_ratio_batch(av: list[str], bv: list[str]) -> np.ndarray:
     if max_m == 0 or max_n == 0:
         out[(m + n > 0)] = 0.0
         return out
-    A = np.zeros((B, max_m), dtype=np.uint32)
-    Bm = np.ones((B, max_n), dtype=np.uint32)
+    A = np.full((B, max_m), 0x110000, dtype=np.uint32)
+    Bm = np.full((B, max_n), 0x110001, dtype=np.uint32)
     for r in range(B):
         s = av[r]
         if s:

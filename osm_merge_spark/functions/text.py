@@ -43,14 +43,23 @@ def words_sql(text: str) -> str:
 
 def shingles(ws: Column, k: int = 3) -> Column:
     """Word k-grams as space-joined strings (array<string>); empty when the
-    document has fewer than k words."""
+    document has fewer than k words.
+
+    The short-doc branch is guarded: sequence(1, n-k+1) with n<k would
+    produce a DESCENDING [1, 0] (Spark defaults step to -1) and element_at
+    would then raise INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode.
+    CASE WHEN branches are lazily evaluated, so the sequence never runs for
+    short docs — matching the DuckDB mirror's range(1,1) → [] behavior."""
     n = F.size(ws)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    return F.transform(
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    grams = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(ws, i + F.lit(j)) for j in range(k)]
         ),
+    )
+    return F.when(n >= F.lit(k), grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -77,16 +77,32 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        min_inter: int = 2) -> DataFrame:
+                        min_inter: int = 2,
+                        stop_df: int | None = None) -> DataFrame:
     """Candidate pairs sharing ≥ min_inter distinct word-k-grams, with the
     exact Jaccard similarity of their shingle sets.
 
     Plan: explode→distinct (one shuffle), self-equi-join on the shingle
-    (shuffle hash join on a high-cardinality key), count-groupBy. At 100 TB
-    the classic guard is dropping ultra-frequent shingles (stop-shingles) —
-    exposed via the stop_df hook in callers if needed.
+    (shuffle hash join on a high-cardinality key), count-groupBy.
+
+    stop_df is the 100-TB guard: a shingle appearing in > stop_df documents
+    ("in the united states") would make its join key O(df²). With the guard
+    on, shingle document frequencies are pre-aggregated and hot shingles
+    are removed by a broadcast anti-join — the stop list is tiny by
+    construction (only keys above the cutoff), so the anti-join never
+    shuffles the shingle table. The filter applies BEFORE both the sizes
+    aggregation and the self-join, so the semantics are exact Jaccard over
+    the non-stop shingle vocabulary (mirrored identically in the oracle).
     """
     sh = _doc_shingles(df, text_col, id_col, k)
+    if stop_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > F.lit(stop_df))
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("nsh"))
     a = sh.select(F.col("doc").alias("d1"), "sh")
     b = sh.select(F.col("doc").alias("d2"), "sh")
@@ -115,12 +131,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_sql(table: str = "documents", text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
-                      min_inter: int = 2) -> str:
+                      min_inter: int = 2,
+                      stop_df: int | None = None) -> str:
     ws = text.words_sql(text_col)
+    if stop_df is not None:
+        sh_cte = (
+            f"sh0 AS (SELECT DISTINCT doc,"
+            f" unnest({text.shingles_sql('ws', k)}) AS sh FROM w), "
+            f"hot AS (SELECT sh FROM sh0 GROUP BY 1"
+            f" HAVING count(*) > {stop_df}), "
+            "sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)), "
+        )
+    else:
+        sh_cte = (
+            f"sh AS (SELECT DISTINCT doc,"
+            f" unnest({text.shingles_sql('ws', k)}) AS sh FROM w), "
+        )
     return (
         f"WITH w AS (SELECT {id_col} AS doc, {ws} AS ws FROM {table}), "
-        f"sh AS (SELECT DISTINCT doc, unnest({text.shingles_sql('ws', k)}) AS sh"
-        " FROM w), "
+        + sh_cte +
         "sizes AS (SELECT doc, count(*) AS nsh FROM sh GROUP BY 1), "
         "inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter"
         " FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc"

@@ -33,15 +33,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-class _DictSumParam(AccumulatorParam):
-    """Accumulator merging {key: count} dicts (partition → row count)."""
+class _DictMaxParam(AccumulatorParam):
+    """Accumulator merging {partition_id: row count} dicts by MAX per key.
+
+    Spark guarantees exactly-once accumulator updates only for actions;
+    task retries and speculative attempts re-run the lineage pass-through
+    and would double-count under a sum merge. Each attempt adds its FULL
+    partition count exactly once (at generator exhaustion), so every add
+    for a given partition carries the same value and max-per-key is both
+    retry-proof and exact."""
 
     def zero(self, value):
         return {}
 
     def addInPlace(self, a, b):
         for k, v in b.items():
-            a[k] = a.get(k, 0) + v
+            a[k] = max(a.get(k, 0), v)
         return a
 
 
@@ -137,7 +144,7 @@ def run_stage(
         observation = Observation(f"stage:{stage}")
         df = df.observe(observation, *[c.alias(k) for k, c in observe_metrics.items()])
 
-    acc = ctx.spark.sparkContext.accumulator({}, _DictSumParam())
+    acc = ctx.spark.sparkContext.accumulator({}, _DictMaxParam())
     df = _with_lineage(df, acc)
 
     tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"

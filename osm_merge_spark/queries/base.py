@@ -115,14 +115,22 @@ _DEG_PER_M_LAT = 1.0 / 110_574.0
 _JIT = THRESHOLD_M * 0.45 * _DEG_PER_M_LAT
 
 
-_IMG_CACHE: dict[tuple[int, str], DataFrame] = {}
+_IMG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def images_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived image table, persisted once per (session, sf_dir): every
     geo query starts from it, and the lineitem dedup + part join would
-    otherwise re-run per query (~2.5 s each at sf0.1)."""
-    key = (id(spark), sf_dir)
+    otherwise re-run per query (~2.5 s each at sf0.1).
+
+    Keyed by applicationId, not id(spark): CPython reuses object ids after
+    GC, so an id-keyed cache can hand a new session a DataFrame bound to a
+    stopped SparkContext. Entries from any other application are dropped
+    (their context is gone or irrelevant; persist() state dies with it)."""
+    app = spark.sparkContext.applicationId
+    for stale in [k for k in _IMG_CACHE if k[0] != app]:
+        _IMG_CACHE.pop(stale, None)
+    key = (app, sf_dir)
     if key not in _IMG_CACHE:
         df = _images_df_plan(spark, sf_dir)
         try:

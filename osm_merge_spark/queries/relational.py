@@ -75,9 +75,12 @@ def _sql_sessionize() -> str:
         f" > {GAP_US} THEN 1"
         " WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)"
         " IS NULL THEN 1 ELSE 0 END AS new_s FROM e), "
-        "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id"
+        # CAST: DuckDB's sum() over INTEGER returns HUGEINT, which
+        # duckdb.df() converts to float64 — the driver's value hash then
+        # sees 5.0 vs Spark's bigint 5 (the round-1 red row).
+        "s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id"
         " ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
-        " CURRENT ROW) AS session_idx FROM f) "
+        " CURRENT ROW) AS BIGINT) AS session_idx FROM f) "
         "SELECT user_id, session_idx, count(*) AS n_events,"
         " min(us) AS start_us, max(us) AS end_us"
         " FROM s GROUP BY 1, 2"

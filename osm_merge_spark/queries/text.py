@@ -22,8 +22,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- n-gram Jaccard ----------------------------------------------------------
+# stop_df ON in the headline query: shingles in >100 docs are dropped before
+# the self-join (the hot-shingle O(df²) guard), mirrored in the oracle.
+NGRAM_STOP_DF = 100
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                     stop_df=NGRAM_STOP_DF)
 
 
 # -- MinHash + LSH -----------------------------------------------------------
@@ -138,7 +144,7 @@ def _sql_doc_fingerprint() -> str:
 
 QUERIES = {
     "dedup_exact": (q_dedup_exact, dedup.exact_groups_sql()),
-    "dedup_ngram": (q_dedup_ngram, dedup.ngram_jaccard_sql()),
+    "dedup_ngram": (q_dedup_ngram, dedup.ngram_jaccard_sql(stop_df=NGRAM_STOP_DF)),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, dedup.minhash_lsh_sql()),
     "dedup_simhash": (q_dedup_simhash, dedup.simhash_sql()),
     "text_quality": (q_text_quality, _sql_text_quality()),

@@ -79,6 +79,13 @@ def conflate_stream(images_stream: DataFrame, layer: DataFrame,
     This is the reference's chunked conflation (conflator.py:766-788)
     with durable checkpointing: a crashed stream resumes at the last
     committed micro-batch.
+
+    foreachBatch is at-least-once, so the sink must be idempotent per
+    batch_id: each micro-batch OVERWRITES its own deterministic
+    `batch=<id>` subdirectory (the standard foreachBatch idempotency
+    pattern). A retried/replayed batch replaces its previous partial
+    output instead of double-appending; readers scan `out_dir/matched`
+    and partition discovery surfaces `batch` as a column they can ignore.
     """
     from ..operators.conflate import ConflateParams, conflate
 
@@ -88,8 +95,10 @@ def conflate_stream(images_stream: DataFrame, layer: DataFrame,
         matched, new = conflate(
             batch_df, layer, ConflateParams(), layer_is_points=layer_is_points
         )
-        matched.write.mode("append").parquet(f"{out_dir}/matched")
-        new.write.mode("append").parquet(f"{out_dir}/new")
+        matched.write.mode("overwrite").parquet(
+            f"{out_dir}/matched/batch={batch_id}"
+        )
+        new.write.mode("overwrite").parquet(f"{out_dir}/new/batch={batch_id}")
 
     return (
         images_stream.writeStream.foreachBatch(process_batch)
