@@ -72,6 +72,7 @@ def candidate_pairs(
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
     secondary_points: bool = False,
     ring_secondary: bool = False,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Primary points × secondary geometries candidate pairs via cell join.
 
@@ -134,7 +135,17 @@ def candidate_pairs(
     joined = joined.drop("__jcell", "__salt")
     if secondary_points:
         return joined
-    # a line/ring pair can meet in several cells — keep one row per pair
+    # a line/ring pair can meet in several cells — keep one row per pair.
+    # Callers that refine + threshold-filter downstream should pass
+    # dedup_pairs=False and dedup AFTER the filter instead (conflate does):
+    # the duplicate rows are bit-identical, the filter shrinks the set ~10×
+    # first, and a post-refine distinct() on slim scalar columns is a cheap
+    # HashAggregate — measured much faster than deduping the full candidate
+    # set here (dropDuplicates' first()-of-payload buffer demotes to
+    # SortAggregate, and distinct() over the xs/ys arrays hashes every
+    # vertex of every duplicate row).
+    if not dedup_pairs:
+        return joined
     return joined.dropDuplicates([p_key, s_key])
 
 

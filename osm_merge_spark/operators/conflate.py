@@ -77,20 +77,34 @@ def refine_distance(pairs: DataFrame, p_lon: str = "lon", p_lat: str = "lat") ->
     Points: haversine. Lines/rings: planar point→polyline in mercator
     meters × cos(lat) local-scale correction. All native column math —
     no Python anywhere in the refine stage.
+
+    The projected arrays go through an eval_once barrier: without it,
+    Catalyst's CollapseProject inlines `transform(xs, mercator)` into every
+    element_at of the per-segment math (~30 re-projections of the whole
+    array per segment), and filter pushdown can drag the entire inlined
+    expression INTO a join condition — both observed in the n=8M plan.
     """
+    from ..functions.barrier import eval_once
+
+    pairs = eval_once(
+        pairs.withColumn(
+            "__mxs", F.transform("xs", lambda x: geo.mercator_x(x))
+        ).withColumn(
+            "__mys", F.transform("ys", lambda y: geo.mercator_y(y))
+        ),
+        ["__mxs", "__mys"],
+    )
     s_lon1 = F.element_at("xs", 1)
     s_lat1 = F.element_at("ys", 1)
     point_d = geo.haversine_m(F.col(p_lon), F.col(p_lat), s_lon1, s_lat1)
     merc_px = geo.mercator_x(F.col(p_lon))
     merc_py = geo.mercator_y(F.col(p_lat))
-    merc_xs = F.transform("xs", lambda x: geo.mercator_x(x))
-    merc_ys = F.transform("ys", lambda y: geo.mercator_y(y))
-    line_d = point_polyline_dist_native(merc_px, merc_py, merc_xs, merc_ys) * F.cos(
-        F.radians(F.col(p_lat))
-    )
+    line_d = point_polyline_dist_native(
+        merc_px, merc_py, F.col("__mxs"), F.col("__mys")
+    ) * F.cos(F.radians(F.col(p_lat)))
     return pairs.withColumn(
         "dist_m", F.when(F.size("xs") == 1, point_d).otherwise(line_d)
-    )
+    ).drop("__mxs", "__mys")
 
 
 def score_hits(pairs: DataFrame, params: ConflateParams,
@@ -242,9 +256,14 @@ def conflate(images: DataFrame, layer: DataFrame,
             join_part(s_slim.filter(F.size("xs") > 1), False)
         )
     refined = refine_distance(pairs).filter(F.col("dist_m") <= F.lit(params.threshold_m))
-    capped = knn.top_k(refined, "image_id",
-                       [F.asc("dist_m"), F.asc("feature_id")], params.candidate_cap)
-    enriched = capped.drop("xs", "ys")
+    # agg-based top-k (no global sort — the row_number window was the
+    # worst-scaling stage, BASELINE.md §4.3); probe-side constants ride via
+    # first(), geometry arrays are dropped here (not needed post-cap)
+    capped = knn.top_k_agg(
+        refined, "image_id", "dist_m", "feature_id", params.candidate_cap,
+        const_cols=["lon", "lat"] if p_has_tags else ["lon", "lat", "caption"],
+    )
+    enriched = capped
     if p_has_tags:
         enriched = enriched.join(
             p.select("image_id", "caption", "p_tags", "p_ref"), "image_id"

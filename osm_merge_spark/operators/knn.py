@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 def top_k(pairs: DataFrame, partition_key: str, order_by: list[Column], k: int,
           rank_col: str = "__rk") -> DataFrame:
     """Keep the k best rows per partition_key (deterministic superset of the
-    reference's early-exit-at-5, T1)."""
+    reference's early-exit-at-5, T1).
+
+    Window/row_number formulation: one shuffle + a FULL sort of every pair
+    row. Kept for arbitrary order_by expressions; the hot conflation path
+    uses top_k_agg below (hash aggregation, no global sort)."""
     w = Window.partitionBy(partition_key).orderBy(*order_by)
     return (
         pairs.withColumn(rank_col, F.row_number().over(w))
@@ -25,14 +29,131 @@ def top_k(pairs: DataFrame, partition_key: str, order_by: list[Column], k: int,
     )
 
 
-def best_candidate(pairs: DataFrame, partition_key: str, hits_col: str = "hits",
-                   dist_col: str = "dist_m", tie_col: str = "feature_id") -> DataFrame:
-    """Pick one winner per primary: max hits, then min distance, then id
-    (J3; sort keys mirror hitsSort/distSort at conflator.py:72-84)."""
-    w = Window.partitionBy(partition_key).orderBy(
-        F.desc(hits_col), F.asc(dist_col), F.asc(tie_col)
+def top_k_agg(pairs: DataFrame, partition_key: str, dist_col: str,
+              tie_col: str, k: int, const_cols: list[str] = (),
+              payload_cols: list[str] = (),
+              n_salt: int | None = None) -> DataFrame:
+    """Aggregation-based top-k: keep the k (dist, tie)-smallest rows per
+    partition_key WITHOUT the row_number window's global sort.
+
+    The window formulation shuffles every pair row then SORTS entire
+    partitions just to keep k rows per key — measured as the worst-scaling
+    stage of the conflation ladder (0.34 efficiency at 4× cores, BASELINE.md
+    §4.3). This formulation instead hash-aggregates:
+
+        groupBy(key).agg(slice(array_sort(collect_list(struct(dist, tie))), 1, k))
+
+    → ObjectHashAggregate with map-side partial aggregation (each map task
+    pre-collects per-key lists, so the shuffle carries one row per distinct
+    key per map partition), per-group array_sort over the handful of
+    candidates (avg ≈3 in the conflation workload), no SortExec anywhere.
+    Rows are identical to the window version because (dist, tie) is a total
+    order (tie = unique id) and struct comparison is lexicographic.
+
+    const_cols are columns functionally determined by partition_key (the
+    probe point's lon/lat/caption) — carried via first() instead of bloating
+    the sorted struct. payload_cols are candidate-side columns that vary per
+    pair (s_caption, version) — they ride INSIDE the sorted struct after the
+    two sort keys; (dist, tie) is already a total order so they never affect
+    comparison, but they must be orderable types (no maps — re-join those by
+    tie_col post-cap instead).
+
+    n_salt: optional two-level variant for EXTREME per-key skew (a key with
+    millions of in-threshold candidates): level 1 caps per (key, salt
+    bucket) so no aggregation buffer exceeds ~df/n_salt elements, level 2
+    merges n_salt k-lists per key. The default single-level is right when
+    per-key candidate counts are bounded (threshold-refined pairs)."""
+    sort_struct = F.struct(
+        F.col(dist_col), F.col(tie_col), *[F.col(c) for c in payload_cols]
     )
-    return pairs.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1).drop("__rk")
+    firsts = [F.first(c).alias(c) for c in const_cols]
+    if n_salt and n_salt > 1:
+        salt = F.pmod(F.xxhash64(F.col(tie_col)), F.lit(n_salt)).alias("__salt")
+        l1 = pairs.groupBy(F.col(partition_key), salt).agg(
+            F.slice(F.array_sort(F.collect_list(sort_struct)), 1, k).alias("__top"),
+            *firsts,
+        )
+        agg = l1.groupBy(partition_key).agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("__top"))), 1, k
+            ).alias("__top"),
+            *[F.first(c).alias(c) for c in const_cols],
+        )
+    else:
+        agg = pairs.groupBy(partition_key).agg(
+            F.slice(F.array_sort(F.collect_list(sort_struct)), 1, k).alias("__top"),
+            *firsts,
+        )
+    return agg.select(
+        partition_key, *const_cols, F.explode("__top").alias("__t")
+    ).select(
+        partition_key, *const_cols,
+        *[
+            F.col(f"__t.{c}").alias(c)
+            for c in (dist_col, tie_col, *payload_cols)
+        ],
+    )
+
+
+def best_candidate(pairs: DataFrame, partition_key: str, hits_col: str = "hits",
+                   dist_col: str = "dist_m", tie_col: str = "feature_id",
+                   strategy: str | None = None) -> DataFrame:
+    """Pick one winner per primary: max hits, then min distance, then id
+    (J3; sort keys mirror hitsSort/distSort at conflator.py:72-84).
+
+    Two aggregation strategies, both shuffle-once, both exact (the ordering
+    struct (-hits, dist, tie) is a total order since tie is a unique id;
+    payload fields after the keys never affect comparison):
+
+      - "agg":   array_min(collect_list(struct(...))) — collect_list is a
+                 TypedImperativeAggregate → ObjectHashAggregate with
+                 map-side partials; never sorts.
+      - "minby": min_by(payload_struct, ordering_struct) — declarative,
+                 but a struct aggregation buffer disqualifies
+                 HashAggregate, so the plan is SortAggregate (sorts each
+                 shuffle partition by the group key).
+
+    The default is benchmark-picked via SPARK_GRAFT_BEST (fallback
+    "minby"); both are kept because their relative cost flips with row
+    width — measure before changing. All non-key columns must be orderable
+    (no maps) — re-join map-typed payloads onto the winners afterwards
+    (N rows, not k·N)."""
+    import os
+
+    strategy = strategy or os.environ.get("SPARK_GRAFT_BEST", "minby")
+    out_cols = [c for c in pairs.columns if c != partition_key]
+    if strategy == "minby":
+        ordering = F.struct(
+            (-F.col(hits_col)).alias("__nh"),
+            F.col(dist_col).alias("__d"),
+            F.col(tie_col).alias("__t"),
+        )
+        return (
+            pairs.groupBy(partition_key)
+            .agg(F.min_by(F.struct(*[F.col(c) for c in out_cols]),
+                          ordering).alias("__b"))
+            .select(partition_key,
+                    *[F.col(f"__b.{c}").alias(c) for c in out_cols])
+        )
+    payload = [c for c in pairs.columns
+               if c not in (partition_key, hits_col, dist_col, tie_col)]
+    sort_struct = F.struct(
+        (-F.col(hits_col)).alias("__nh"),
+        F.col(dist_col),
+        F.col(tie_col),
+        *[F.col(c) for c in payload],
+    )
+
+    def restore(c: str) -> Column:
+        if c == hits_col:
+            return (-F.col("__b.__nh")).alias(hits_col)
+        return F.col(f"__b.{c}").alias(c)
+
+    return (
+        pairs.groupBy(partition_key)
+        .agg(F.array_min(F.collect_list(sort_struct)).alias("__b"))
+        .select(partition_key, *[restore(c) for c in out_cols])
+    )
 
 
 def knn(pairs: DataFrame, partition_key: str, dist_col: str, k: int,

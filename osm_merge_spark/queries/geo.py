@@ -133,14 +133,17 @@ def _sql_dist_join() -> str:
 # conflator.py:215-298, as deterministic window logic)
 # ---------------------------------------------------------------------------
 def q_conflate_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import knn
+
     refined = _pairs_df(spark, sf_dir).filter(
         F.col("dist") <= F.lit(base.THRESHOLD_M)
     )
-    w5 = Window.partitionBy("image_id").orderBy(F.asc("dist"), F.asc("feature_id"))
-    capped = (
-        refined.withColumn("rk", F.row_number().over(w5))
-        .filter(F.col("rk") <= 5)
-        .drop("rk")
+    # agg-based top-5 + min_by best (identical rows to the oracle's
+    # row_number windows — (dist, feature_id) is a total order — but hash
+    # aggregation instead of shuffle+full-sort; see operators/knn.py)
+    capped = knn.top_k_agg(
+        refined, "image_id", "dist", "feature_id", 5,
+        const_cols=["caption"], payload_cols=["version", "s_caption"],
     )
     ratio = fuzzy.ratio_lev(F.col("caption"), F.col("s_caption"))
     name_hit = (
@@ -151,12 +154,9 @@ def q_conflate_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = capped.withColumn("ratio", ratio).withColumn(
         "hits", name_hit + geom_hit
     )
-    wb = Window.partitionBy("image_id").orderBy(
-        F.desc("hits"), F.asc("dist"), F.asc("feature_id")
-    )
     return (
-        scored.withColumn("rk", F.row_number().over(wb))
-        .filter(F.col("rk") == 1)
+        knn.best_candidate(scored, "image_id", hits_col="hits",
+                           dist_col="dist", tie_col="feature_id")
         .select(
             "image_id",
             "feature_id",

@@ -29,6 +29,13 @@ _DEFAULT_CONF = {
     # Keep broadcast autothreshold conservative; operators that KNOW the
     # dimension side is small force broadcast() explicitly.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Shuffled hash join over sort-merge when broadcast is off the table:
+    # the engine's equi-joins key on high-cardinality cell ids / feature
+    # ids with bounded per-key build sides, so SMJ's full sort of the
+    # ring-exploded probe side (observed at n=8M when the layer outgrew
+    # the broadcast threshold) buys nothing. AQE still upgrades SHJ to
+    # broadcast at runtime when actual sizes allow.
+    "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # UTC everywhere: parquet TIMESTAMP_NTZ ↔ TIMESTAMP casts stay
     # identity on the epoch micros (and match DuckDB's naive epoch_us).

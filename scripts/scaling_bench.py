@@ -1,0 +1,143 @@
+"""North-rule scaling benchmark: the conflation job at two parallelism
+levels on the SAME input (BASELINE.md §2 row 4 — the sandbox stand-in for
+N vs 4N executor clusters, per the driver's instruction).
+
+Protocol (BASELINE.md §4.3, the corrected fresh-plan protocol):
+  - each parallelism level runs in its OWN process, pinned with taskset to
+    exactly its core budget (an unpinned local[8] silently borrows the
+    other 24 cores for GC/Python workers and inflates the baseline);
+  - the synthetic input is written to parquet ONCE and both levels read the
+    same files (identical input, not identical plan objects);
+  - every timed repetition rebuilds the logical plan from scratch (Spark
+    reuses materialized shuffle outputs when re-counting one DataFrame);
+  - warmup run + min of --reps fresh-plan repetitions (single-shot noise
+    in the sandbox is ±50%);
+  - driver heap scales with the thread count.
+
+Usage:
+    python scripts/scaling_bench.py --n 2000000 --levels 8,32 --reps 3
+Prints one JSON line:
+    {"n": ..., "levels": {"8": {...}, "32": {...}}, "speedup": ..,
+     "efficiency": ..}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _worker(args) -> None:
+    """One pinned parallelism level: synth → conflate → count, fresh plan
+    per rep. Prints one JSON line with the min wall."""
+    from osm_merge_spark.session import get_spark
+
+    spark = get_spark(
+        f"scaling-{args.cores}",
+        master=f"local[{args.cores}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(args.cores * 4),
+            "spark.driver.memory": f"{max(8, args.cores)}g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from osm_merge_spark.operators.conflate import ConflateParams, conflate
+
+    images = spark.read.parquet(f"{args.input}/images")
+    layer = spark.read.parquet(f"{args.input}/layer")
+
+    def run() -> tuple[float, int]:
+        t0 = time.time()
+        matched, _ = conflate(images, layer, ConflateParams())
+        n_out = matched.count()
+        return time.time() - t0, n_out
+
+    run()  # warmup (JVM/JIT/codegen caches)
+    walls, n_out = [], 0
+    for _ in range(args.reps):
+        w, n_out = run()
+        walls.append(w)
+    best = min(walls)
+    print(json.dumps({
+        "cores": args.cores, "wall_s": round(best, 2),
+        "walls": [round(w, 2) for w in walls], "matched": n_out,
+        "throughput_img_s": round(args.n / best),
+    }))
+
+
+def _synth_input(n: int, path: str) -> None:
+    """Write the synthetic input once (both levels read the same files)."""
+    from osm_merge_spark.data.synth import synth_images, synth_layer
+    from osm_merge_spark.session import get_spark
+
+    spark = get_spark("scaling-synth", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    synth_images(spark, n).write.mode("overwrite").parquet(f"{path}/images")
+    synth_layer(spark, n).write.mode("overwrite").parquet(f"{path}/layer")
+    spark.stop()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2_000_000)
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--input", default=None, help="reuse a synth dir")
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cores", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.worker:
+        _worker(args)
+        return 0
+
+    levels = [int(x) for x in args.levels.split(",")]
+    tmp = args.input or tempfile.mkdtemp(prefix="scaling_input_")
+    own_tmp = args.input is None
+    try:
+        if own_tmp or not os.path.exists(f"{tmp}/images"):
+            print(f"synthesizing n={args.n} → {tmp}", file=sys.stderr)
+            _synth_input(args.n, tmp)
+
+        results: dict[str, dict] = {}
+        for cores in levels:
+            cmd = [
+                "taskset", "-c", f"0-{cores - 1}",
+                sys.executable, os.path.abspath(__file__),
+                "--worker", "--cores", str(cores), "--n", str(args.n),
+                "--reps", str(args.reps), "--input", tmp,
+            ]
+            print(f"running pinned local[{cores}] ...", file=sys.stderr)
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 cwd=REPO, check=True)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            results[str(cores)] = json.loads(line)
+            print(line, file=sys.stderr)
+
+        lo, hi = str(min(levels)), str(max(levels))
+        speed = results[hi]["throughput_img_s"] / results[lo]["throughput_img_s"]
+        factor = max(levels) / min(levels)
+        print(json.dumps({
+            "n": args.n, "levels": results,
+            "speedup": round(speed, 2),
+            "efficiency": round(speed / factor, 2),
+        }))
+    finally:
+        if own_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
