@@ -144,38 +144,49 @@ def _merc(lon, lat):
             R * math.log(math.tan(math.pi / 4.0 + math.radians(lat) / 2.0)))
 
 
-def _pt_seg(px, py, ax, ay, bx, by):
-    dx, dy = bx - ax, by - ay
-    seg2 = dx * dx + dy * dy
-    if seg2 == 0.0:
-        t = 0.0
-    else:
-        t = min(max(((px - ax) * dx + (py - ay) * dy) / seg2, 0.0), 1.0)
-    cx, cy = ax + t * dx, ay + t * dy
-    return math.sqrt((px - cx) ** 2 + (py - cy) ** 2)
+def _haversine(lon1, lat1, lon2, lat2):
+    la1, la2 = math.radians(lat1), math.radians(lat2)
+    dla, dlo = la2 - la1, math.radians(lon2) - math.radians(lon1)
+    a = (math.sin(dla / 2.0) ** 2
+         + math.cos(la1) * math.cos(la2) * math.sin(dlo / 2.0) ** 2)
+    return 2.0 * 6371008.8 * math.asin(math.sqrt(a))
 
 
 def _brute_min_dists(mvum_feats, ways):
     """For each (mvum feature, way): min over mvum vertices of the
     mercator point→way-polyline distance × cos(lat) — the engine's exact
-    refine math, O(N·M) like the reference's conflator."""
+    refine math, O(N·M) like the reference's conflator (numpy-vectorized
+    over the vertex×segment plane so the oracle runs in seconds)."""
+    import numpy as np
+
+    wsegs = {}
+    for wid, wcoords in ways.items():
+        m = np.array([_merc(x, y) for x, y in wcoords])
+        if len(m) >= 2:
+            wsegs[wid] = (m[:-1], m[1:])
+        else:
+            wsegs[wid] = (m, m)  # degenerate; haversine path below
     out = {}
     for pid, coords in mvum_feats.items():
-        for wid, wcoords in ways.items():
-            wm = [_merc(x, y) for x, y in wcoords]
-            best = math.inf
-            for lon, lat in coords:
-                px, py = _merc(lon, lat)
-                scale = math.cos(math.radians(lat))
-                if len(wm) == 1:
-                    d = math.hypot(px - wm[0][0], py - wm[0][1]) * scale
-                else:
-                    d = min(
-                        _pt_seg(px, py, wm[k][0], wm[k][1],
-                                wm[k + 1][0], wm[k + 1][1])
-                        for k in range(len(wm) - 1)
-                    ) * scale
-                best = min(best, d)
+        P = np.array([_merc(x, y) for x, y in coords])          # (V, 2)
+        scale = np.cos(np.radians(np.array([c[1] for c in coords])))
+        for wid, (a, b) in wsegs.items():
+            if len(ways[wid]) == 1:
+                wx, wy = ways[wid][0]
+                best = min(
+                    _haversine(lon, lat, wx, wy) for lon, lat in coords
+                )
+            else:
+                ab = b - a                                       # (S, 2)
+                seg2 = (ab * ab).sum(1)                          # (S,)
+                ap = P[:, None, :] - a[None, :, :]               # (V, S, 2)
+                t_raw = (ap * ab[None]).sum(2) / np.where(seg2 == 0.0, 1.0,
+                                                          seg2)[None]
+                t = np.where(seg2[None] == 0.0, 0.0,
+                             np.clip(t_raw, 0.0, 1.0))
+                c = a[None] + t[..., None] * ab[None]            # (V, S, 2)
+                d = np.sqrt(((P[:, None, :] - c) ** 2).sum(2))   # (V, S)
+                best = float((d.min(1) * scale).min())
             if best <= THRESH_M:
                 out[(pid, wid)] = best
     return out
@@ -227,10 +238,13 @@ def test_fixture_engine_vs_bruteforce(spark, fixture_inputs):
     # independent brute force on raw files
     with open(f"{REF_DATA}/mvum-test.geojson") as f:
         fc = json.load(f)
-    mvum_feats = {
-        feat["properties"]["ref:usfs"]: feat["geometry"]["coordinates"]
-        for feat in fc["features"]
-    }
+    # pid = ref:usfs, which repeats (two FR 503 segments) — concatenate
+    # coords per ref, matching the engine's groupBy(pid) min
+    mvum_feats: dict[str, list] = {}
+    for feat in fc["features"]:
+        mvum_feats.setdefault(
+            feat["properties"]["ref:usfs"], []
+        ).extend(feat["geometry"]["coordinates"])
     root = ET.parse(f"{REF_DATA}/osm.osm").getroot()
     nodes = {
         n.get("id"): (float(n.get("lon")), float(n.get("lat")))
@@ -247,7 +261,10 @@ def test_fixture_engine_vs_bruteforce(spark, fixture_inputs):
     assert set(got) == set(want)
     assert len(got) > 0
     for k, d in want.items():
-        assert got[k] == pytest.approx(d, rel=1e-9), k
+        # abs tolerance: numpy vs JVM trig differ in the last ulp, which
+        # catastrophic cancellation amplifies for near-zero distances
+        # (observed 5.092121e-4 vs 5.092114e-4 METERS on one pair)
+        assert got[k] == pytest.approx(d, rel=1e-6, abs=1e-6), k
 
 
 def test_fixture_nearest_way_name_agreement(spark, fixture_inputs):
@@ -286,7 +303,7 @@ def test_fixture_nearest_way_name_agreement(spark, fixture_inputs):
             fuzzy.ratio_indel(F.col("p_name"), F.col("s_name")), F.lit(0.0)
         )),
         "image_id", "dist_m", "feature_id", 1,
-        payload_cols=["ratio", "s_name"],
+        const_cols=["p_name"], payload_cols=["ratio", "s_name"],
     ).collect()
     assert len(best) > 0
     for r in best:
