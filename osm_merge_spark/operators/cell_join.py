@@ -149,6 +149,44 @@ def candidate_pairs(
     return joined.dropDuplicates([p_key, s_key])
 
 
+def candidate_pairs_points(
+    primary: DataFrame,
+    secondary: DataFrame,
+    grid: CellGrid,
+    *,
+    p_lon: str = "lon",
+    p_lat: str = "lat",
+    p_key: str = "image_id",
+    s_lon: str = "s_lon",
+    s_lat: str = "s_lat",
+    broadcast_secondary: bool | None = None,
+    n_salt: int = DEFAULT_SALT,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+) -> DataFrame:
+    """Point-secondary cell join on SCALAR coordinates.
+
+    Same semantics as candidate_pairs(secondary_points=True) but the
+    secondary carries (s_lon, s_lat) doubles instead of 1-element arrays.
+    This exists for the broadcast build side: a scalar point row is ~24 B
+    in the hash relation vs ~90 B with two array headers — the driver-side
+    broadcast collect is the one serial term both cluster sizes pay
+    identically, so its byte count directly caps scaling efficiency.
+    """
+    p = primary.withColumn(
+        "__jcell", F.explode(grid.ring1(grid.encode(F.col(p_lon), F.col(p_lat))))
+    )
+    s = secondary.withColumn(
+        "__jcell", grid.encode(F.col(s_lon), F.col(s_lat))
+    )
+    if broadcast_secondary:
+        joined = p.join(F.broadcast(s), "__jcell")
+    elif broadcast_secondary is None:
+        joined = p.join(s, "__jcell")
+    else:
+        joined = _salted_join(p, s, p_key, n_salt, hot_threshold)
+    return joined.drop("__jcell", "__salt")
+
+
 def _salted_join(p: DataFrame, s: DataFrame, p_key: str, n_salt: int,
                  hot_threshold: int) -> DataFrame:
     """Shuffle hash join on cell keys with explicit hot-cell salting.

@@ -193,7 +193,8 @@ def suppress_identical(matched: DataFrame) -> DataFrame:
 def conflate(images: DataFrame, layer: DataFrame,
              params: ConflateParams = ConflateParams(),
              broadcast_layer: bool | None = None,
-             layer_is_points: bool = False) -> tuple[DataFrame, DataFrame]:
+             layer_is_points: bool = False,
+             explode_multipart: bool = False) -> tuple[DataFrame, DataFrame]:
     """Run the full ladder. Returns (matched, new).
 
     images: (image_id, caption, lon, lat, [p_tags map], ...payload excluded
@@ -235,27 +236,97 @@ def conflate(images: DataFrame, layer: DataFrame,
         else p.select("image_id", "lon", "lat", "caption")
     )
     s_slim = s.select("feature_id", "xs", "ys")
+    if explode_multipart:
+        # multi-part geometries ride as NaN-separated packed arrays
+        # (sources/geojson); per-part rows join/refine independently and
+        # the best-part aggregation below takes min-over-sub-geometries
+        # (conflator.py:485-528)
+        from .multipart import explode_parts
 
-    def join_part(s_part: DataFrame, pts: bool) -> DataFrame:
-        return cell_join.candidate_pairs(
+        s_slim = explode_parts(s_slim).drop("part_idx")
+
+    # Planar bbox prefilter bound — cheap compares per candidate BEFORE
+    # the transcendental refine. A point within threshold_m of a geometry
+    # is within threshold of its bbox; 110574 m/deg is the MINIMUM
+    # meridian scale and the 1.2 margin swallows both its latitude
+    # variation and the lon/lat metric difference, so the prefilter is a
+    # strict superset of the exact dist_m <= threshold filter (semantics
+    # unchanged; the cell join admits ~15 candidates per true match and
+    # this rejects most of them for arithmetic instead of trig cost).
+    deg = params.threshold_m * 1.2 / 110_574.0
+    deg_lon = F.lit(deg) / F.cos(F.radians(F.col("lat")))
+    slim_cols = ["image_id", "lon", "lat", "feature_id", "dist_m"] + (
+        [] if p_has_tags else ["caption"]
+    )
+
+    def points_refined(s_part: DataFrame) -> DataFrame:
+        # point features join + refine on SCALAR coordinates: the
+        # broadcast hash relation holds ~24 B/row (vs ~90 B with packed
+        # 1-element arrays) — the broadcast collect is the serial term
+        # BOTH simulated cluster sizes pay identically, so its byte count
+        # directly caps the N→4N scaling efficiency.
+        s_pts = s_part.select(
+            "feature_id",
+            F.element_at("xs", 1).alias("s_lon"),
+            F.element_at("ys", 1).alias("s_lat"),
+        )
+        pp = cell_join.candidate_pairs_points(
+            p_slim, s_pts, grid,
+            broadcast_secondary=broadcast_layer,
+            n_salt=params.n_salt, hot_threshold=params.hot_threshold,
+        )
+        pp = pp.filter(
+            (F.col("lat") >= F.col("s_lat") - F.lit(deg))
+            & (F.col("lat") <= F.col("s_lat") + F.lit(deg))
+            & (F.col("lon") >= F.col("s_lon") - deg_lon)
+            & (F.col("lon") <= F.col("s_lon") + deg_lon)
+        )
+        d = geo.haversine_m(
+            F.col("lon"), F.col("lat"), F.col("s_lon"), F.col("s_lat")
+        )
+        return (
+            pp.withColumn("dist_m", d)
+            .filter(F.col("dist_m") <= F.lit(params.threshold_m))
+            .select(*slim_cols)
+        )
+
+    def lines_refined(s_part: DataFrame) -> DataFrame:
+        lp = cell_join.candidate_pairs(
             p_slim, s_part, grid,
             broadcast_secondary=broadcast_layer,
             n_salt=params.n_salt, hot_threshold=params.hot_threshold,
-            secondary_points=pts,
+            secondary_points=False,
+        )
+        lp = lp.filter(
+            (F.col("lat") >= F.array_min("ys") - F.lit(deg))
+            & (F.col("lat") <= F.array_max("ys") + F.lit(deg))
+            & (F.col("lon") >= F.array_min("xs") - deg_lon)
+            & (F.col("lon") <= F.array_max("xs") + deg_lon)
+        )
+        return (
+            refine_distance(lp)
+            .filter(F.col("dist_m") <= F.lit(params.threshold_m))
+            .select(*slim_cols)
         )
 
     if layer_is_points:
-        pairs = join_part(s_slim, True)
+        refined = points_refined(s_slim)
     else:
         # mixed layers split by geometry: point features (the vast
-        # majority in real layers) take the dedup-free fast path; only
+        # majority in real layers) take the scalar fast path; only
         # line/ring features pay the covering-cells explode + pair-dedup
-        # sort. At 4M images the undivided generic path sorts the FULL
-        # candidate set (~74M rows) just to dedup the ~10% line pairs.
-        pairs = join_part(s_slim.filter(F.size("xs") == 1), True).unionByName(
-            join_part(s_slim.filter(F.size("xs") > 1), False)
+        # + polyline refine.
+        refined = points_refined(s_slim.filter(F.size("xs") == 1)).unionByName(
+            lines_refined(s_slim.filter(F.size("xs") > 1))
         )
-    refined = refine_distance(pairs).filter(F.col("dist_m") <= F.lit(params.threshold_m))
+    if explode_multipart:
+        # best-part aggregation: one row per (image, feature) with the
+        # minimum part distance — partial (map-side) min, no sort
+        refined = refined.groupBy("image_id", "feature_id").agg(
+            F.min("dist_m").alias("dist_m"),
+            *[F.first(c).alias(c) for c in slim_cols
+              if c not in ("image_id", "feature_id", "dist_m")],
+        )
     # agg-based top-k (no global sort — the row_number window was the
     # worst-scaling stage, BASELINE.md §4.3); probe-side constants ride via
     # first(), geometry arrays are dropped here (not needed post-cap)

@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 from ..functions.geo import dlit
 
 LSH_BITS = 8
+# banded configuration (b bands × r bits): a pair is a candidate when it
+# agrees on ≥1 FULL band. Bucket count per band = 2^r (2^16 ≈ 65k vs the
+# old single-signature 2^8=256), so the intra-bucket refine shrinks
+# ~b·2^r/2^8-fold while the b-band union keeps recall at high cosine —
+# exactly the banding dedup.lsh_candidate_pairs already uses for MinHash.
+LSH_BANDS = 4
+LSH_BAND_BITS = 16
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -242,13 +249,135 @@ def ivf_search(assigned: DataFrame, centroids, queries: DataFrame,
     )
 
 
+def lsh_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """array<int> of sign bits, one per hyperplane — the planes ride as ONE
+    2-D literal array and a single transform computes every dot product
+    (compact expression; callers barrier the result with eval_once so the
+    n_bands band keys don't each recompute all the dots)."""
+    planes_lit = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in planes]
+    )
+    return F.transform(
+        planes_lit,
+        lambda row: F.when(_dot(vec, row) >= F.lit(0.0), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
+def lsh_bits_sql(vec: str, planes: list[list[float]]) -> str:
+    planes_lit = "[" + ", ".join(
+        "[" + ", ".join(dlit(x) for x in row) + "]" for row in planes
+    ) + "]"
+    dim = len(planes[0])
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, {dim + 1}),"
+        f" i -> CAST({vec}[i] AS DOUBLE) * row[i])), (x, y) -> x + y)"
+    )
+    return (
+        f"list_transform({planes_lit},"
+        f" row -> CASE WHEN {dot} >= {dlit(0.0)} THEN 1 ELSE 0 END)"
+    )
+
+
+def lsh_band_keys(bits: Column, n_bands: int, band_bits: int) -> Column:
+    """array<string> of 'band:signature' keys from the bit array."""
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(band_bits)])
+    keys = []
+    for b in range(n_bands):
+        sig = F.aggregate(
+            F.zip_with(
+                F.slice(bits, b * band_bits + 1, band_bits), weights,
+                lambda bit, w: bit.cast("long") * w,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        keys.append(F.concat_ws(":", F.lit(str(b)), sig.cast("string")))
+    return F.array(*keys)
+
+
+def lsh_band_keys_sql(bits: str, n_bands: int, band_bits: int) -> str:
+    weights = "[" + ", ".join(
+        f"CAST({1 << i} AS BIGINT)" for i in range(band_bits)
+    ) + "]"
+    keys = []
+    for b in range(n_bands):
+        sig = (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+            f" list_transform(range(1, {band_bits + 1}),"
+            f" i -> CAST({bits}[{b * band_bits} + i] AS BIGINT)"
+            f" * ({weights})[i])), (x, y) -> x + y)"
+        )
+        keys.append(f"('{b}:' || CAST({sig} AS VARCHAR))")
+    return "[" + ", ".join(keys) + "]"
+
+
+def lsh_banded_pairs(emb: DataFrame, planes: list[list[float]],
+                     n_bands: int = LSH_BANDS, band_bits: int = LSH_BAND_BITS,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Banded LSH candidate pairs: equi-join per band key (union of band
+    joins via explode), distinct (v1, v2), exact-cosine refine on the
+    deduped ids. len(planes) must be n_bands*band_bits. The refine re-joins
+    the vector table by id so vectors never ride through the band shuffle.
+    """
+    from ..functions.barrier import eval_once
+
+    sigs = eval_once(
+        emb.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        ).withColumn("bits", lsh_bits(F.col("vec"), planes)),
+        ["bits"],
+    )
+    e = sigs.select(
+        "vid", F.explode(lsh_band_keys(F.col("bits"), n_bands, band_bits)).alias("bk")
+    )
+    a = e.select(F.col("vid").alias("v1"), "bk")
+    b = e.select(F.col("vid").alias("v2"), "bk")
+    cand = (
+        a.join(b, "bk").filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2").distinct()
+    )
+    v1 = emb.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("vec1"))
+    v2 = emb.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("vec2"))
+    return (
+        cand.join(v1, "v1").join(v2, "v2")
+        .select(
+            "v1", "v2",
+            F.round(cosine(F.col("vec1"), F.col("vec2")), 6).alias("cos"),
+        )
+    )
+
+
+def lsh_banded_pairs_sql(table: str, planes: list[list[float]],
+                         n_bands: int = LSH_BANDS,
+                         band_bits: int = LSH_BAND_BITS,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> str:
+    """Exact SQL mirror of lsh_banded_pairs."""
+    dim = len(planes[0])
+    bits = lsh_bits_sql(vec_col, planes)
+    keys = lsh_band_keys_sql("bits", n_bands, band_bits)
+    cos = cosine_sql("e1.embedding", "e2.embedding", dim)
+    return (
+        f"WITH sigs AS (SELECT {id_col} AS vid, {bits} AS bits FROM {table}), "
+        f"bands AS (SELECT vid, unnest({keys}) AS bk FROM sigs), "
+        "cand AS (SELECT DISTINCT a.vid AS v1, b.vid AS v2 FROM bands a"
+        " JOIN bands b ON a.bk = b.bk AND a.vid < b.vid) "
+        f"SELECT v1, v2, round({cos}, 6) AS cos FROM cand"
+        f" JOIN {table} e1 ON v1 = e1.{id_col}"
+        f" JOIN {table} e2 ON v2 = e2.{id_col}"
+    )
+
+
 def lsh_candidate_pairs(emb: DataFrame, planes: list[list[float]],
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
-    """Bucket equi-join on the full LSH signature; cosine refine inside
-    buckets only. At 10^12 rows this is the candidate-generation stage —
-    the bucket key is the shuffle key, hyperplane count tunes recall vs
-    bucket size."""
+    """Single full-signature bucket join (2^bits buckets) — the
+    high-recall SMALL-N configuration. At scale the intra-bucket refine is
+    O(N²/2^bits); use lsh_banded_pairs (b×r banding) as the
+    candidate-generation stage instead."""
     sigs = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),

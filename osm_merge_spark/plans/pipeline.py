@@ -24,7 +24,7 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
+
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -83,10 +83,12 @@ class PipelineContext:
             return [json.loads(line) for line in f if line.strip()]
 
     def committed(self, stage: str) -> bool:
+        from ..sources.tables import table_exists
+
         return any(
             m["stage"] == stage and m["status"] == "committed"
             for m in self.manifest()
-        ) and os.path.exists(self.stage_path(stage))
+        ) and table_exists(self.spark, self.stage_path(stage))
 
     def _append_manifest(self, row: dict) -> None:
         with open(self.manifest_path, "a") as f:
@@ -130,10 +132,12 @@ def run_stage(
     build() is only called when the stage is not already committed — the
     lazy plan is materialized exactly once per pipeline lifetime.
     """
+    from ..sources.tables import commit_table, read_table
+
     out = ctx.stage_path(stage)
     if ctx.committed(stage):
         ctx.skipped.append(stage)
-        return ctx.spark.read.parquet(out)
+        return read_table(ctx.spark, out)
 
     t0 = time.time()
     df = build(ctx.spark)
@@ -147,18 +151,10 @@ def run_stage(
     acc = ctx.spark.sparkContext.accumulator({}, _DictMaxParam())
     df = _with_lineage(df, acc)
 
-    tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
-
-    # atomic commit: rename tmp → final, then manifest row
-    if os.path.exists(out):
-        import shutil
-
-        shutil.rmtree(out)
-    os.rename(tmp, out)
+    # atomic commit THROUGH THE TABLE SEAM (an Iceberg snapshot commit
+    # when a catalog is configured; tmp+rename on the parquet fallback —
+    # see sources/tables.commit_table), then the manifest row
+    commit_table(df, out, partition_by)
 
     lineage_rows = [
         {"stage": stage, "partition_id": int(k), "rows_out": v}
@@ -184,7 +180,7 @@ def run_stage(
         }
     ctx._append_manifest(manifest_row)
     ctx.executed.append(stage)
-    return ctx.spark.read.parquet(out)
+    return read_table(ctx.spark, out)
 
 
 def conflation_pipeline(

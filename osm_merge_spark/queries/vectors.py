@@ -12,7 +12,16 @@ from ..operators import similarity
 
 DIM = 64
 QUERY_MOD = 25  # vec_id % 25 == 0 → the query subset
-PLANES = similarity.hyperplanes(DIM, similarity.LSH_BITS)
+# banded ANN planes: 4 bands × 16 bits (the 100-TB candidate generator —
+# 65k buckets per band instead of the old single signature's 256)
+PLANES_BANDED = similarity.hyperplanes(
+    DIM, similarity.LSH_BANDS * similarity.LSH_BAND_BITS
+)
+# near-dup banding is threshold-matched: at the (synthetically low)
+# NEAR_DUP_COS the per-plane agreement probability s is ~0.6, so r=4 keeps
+# per-band recall s^r usable and b=8 unions it up; r=16 would find nothing
+DUP_BANDS, DUP_BAND_BITS = 8, 4
+PLANES_DUP = similarity.hyperplanes(DIM, DUP_BANDS * DUP_BAND_BITS)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,28 +49,23 @@ def _sql_ann_cosine_topk() -> str:
 
 
 def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_candidate_pairs(_emb(spark, sf_dir), PLANES)
+    return similarity.lsh_banded_pairs(_emb(spark, sf_dir), PLANES_BANDED)
 
 
 def _sql_ann_lsh_pairs() -> str:
-    sig = similarity.lsh_signature_sql("embedding", PLANES)
-    cos = similarity.cosine_sql("a.embedding", "b.embedding", DIM)
-    return (
-        f"WITH sigs AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings) "
-        "SELECT a.vec_id AS v1, b.vec_id AS v2,"
-        f" round({cos}, 6) AS cos FROM sigs a JOIN sigs b"
-        " ON a.sig = b.sig AND a.vec_id < b.vec_id"
-    )
+    return similarity.lsh_banded_pairs_sql("embeddings", PLANES_BANDED)
 
 
 NEAR_DUP_COS = 0.3  # random 64-d vectors: cos≥0.3 ≈ the top ~0.5% pair tail
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection: LSH-bucketed candidate pairs
+    """Embedding-cosine near-dup detection: banded-LSH candidate pairs
     (scale path — never the N² cross product), refined by exact cosine
     against the near-dup threshold; keep_id = the lower vec_id survives."""
-    pairs = similarity.lsh_candidate_pairs(_emb(spark, sf_dir), PLANES)
+    pairs = similarity.lsh_banded_pairs(
+        _emb(spark, sf_dir), PLANES_DUP, DUP_BANDS, DUP_BAND_BITS
+    )
     dups = pairs.filter(F.col("cos") >= NEAR_DUP_COS)
     return dups.select(
         F.col("v1").alias("keep_id"), F.col("v2").alias("dup_id"), "cos"
@@ -69,19 +73,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_embedding() -> str:
-    sig = similarity.lsh_signature_sql("embedding", PLANES)
-    cos = similarity.cosine_sql("a.embedding", "b.embedding", DIM)
     from ..functions.geo import dlit
 
+    inner = similarity.lsh_banded_pairs_sql(
+        "embeddings", PLANES_DUP, DUP_BANDS, DUP_BAND_BITS
+    )
+    # the engine filters the ROUNDED cosine (lsh_banded_pairs output) —
+    # mirror exactly or the ~5e-7 band at the threshold diverges
     return (
-        f"WITH sigs AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings) "
-        "SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,"
-        f" round({cos}, 6) AS cos FROM sigs a JOIN sigs b"
-        " ON a.sig = b.sig AND a.vec_id < b.vec_id"
-        # the engine filters the ROUNDED cosine (lsh_candidate_pairs
-        # output) — mirror exactly or the ~5e-7 band at the threshold
-        # diverges
-        f" WHERE round({cos}, 6) >= {dlit(NEAR_DUP_COS)}"
+        f"SELECT v1 AS keep_id, v2 AS dup_id, cos FROM ({inner}) t"
+        f" WHERE cos >= {dlit(NEAR_DUP_COS)}"
     )
 
 

@@ -39,11 +39,41 @@ def _flatten(geom: dict) -> tuple[str, list[float], list[float]]:
     if gt == "Polygon":  # outer ring only (reference clips on outer rings)
         ring = cs[0] if cs else []
         return gt, [c[0] for c in ring], [c[1] for c in ring]
-    if gt == "MultiLineString":  # NaN-separated segments, exploded downstream
+    if gt == "MultiLineString":
+        # NaN-SEPARATED parts in one packed array: part boundaries survive
+        # the packed row form and operators.multipart.explode_parts
+        # recovers first-class per-part rows (conflator.py:485-495
+        # dispatches per sub-geometry; a plain concatenation would invent
+        # phantom bridge segments between parts)
         xs, ys = [], []
         for seg in cs:
+            if xs:
+                xs.append(float("nan"))
+                ys.append(float("nan"))
             xs.extend([c[0] for c in seg])
             ys.extend([c[1] for c in seg])
+        return gt, xs, ys
+    if gt == "MultiPolygon":  # outer ring of each polygon, NaN-separated
+        xs, ys = [], []
+        for poly in cs:
+            ring = poly[0] if poly else []
+            if xs:
+                xs.append(float("nan"))
+                ys.append(float("nan"))
+            xs.extend([c[0] for c in ring])
+            ys.extend([c[1] for c in ring])
+        return gt, xs, ys
+    if gt == "GeometryCollection":
+        xs, ys = [], []
+        for sub in geom.get("geometries", []):
+            _, sx, sy = _flatten(sub)
+            if not sx:
+                continue
+            if xs:
+                xs.append(float("nan"))
+                ys.append(float("nan"))
+            xs.extend(sx)
+            ys.extend(sy)
         return gt, xs, ys
     return gt, [], []
 

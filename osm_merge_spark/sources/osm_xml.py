@@ -125,12 +125,22 @@ def _xml_escape(col):
 
 def write_osm_xml(nodes: DataFrame | None, ways: DataFrame | None,
                   filespec: str, bump_version: bool = True) -> None:
-    """S8 sink: final curated outputs (the reference's JOSM-bound files) —
-    row fragments rendered distributively as columns, assembled on the
-    driver. Version bump + modify action mirror conflator.py:945-991.
-    XML-escape matches mvum.py:144's `<` fix, generalized."""
-    parts: list[str] = ['<?xml version="1.0" encoding="UTF-8"?>',
-                       "<osm version=\"0.6\" generator=\"osm-merge-spark\">"]
+    """S8 sink: final curated outputs (the reference's JOSM-bound files).
+
+    Row fragments are rendered distributively as columns and WRITTEN by the
+    executors (df.write.text part files); the driver only streams those
+    part files into the final document between header and footer — O(1)
+    driver memory at any row count (the round-1 version collect()ed every
+    fragment to the driver). Fragment order across partitions is not
+    preserved; OSM XML imposes no element order. Version bump + modify
+    action mirror conflator.py:945-991. XML-escape matches mvum.py:144's
+    `<` fix, generalized."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="osmxml_")
+    frag_dirs: list[str] = []
 
     def tag_frag(tags_col):
         return F.concat_ws(
@@ -153,9 +163,10 @@ def write_osm_xml(nodes: DataFrame | None, ways: DataFrame | None,
                 F.lit('" action="modify" lat="'), F.col("lat").cast("string"),
                 F.lit('" lon="'), F.col("lon").cast("string"), F.lit('">\n'),
                 tag_frag(F.col("tags")), F.lit("</node>"),
-            ).alias("x")
+            ).alias("value")
         )
-        parts.extend(r.x for r in frags.collect())
+        frags.write.mode("overwrite").text(f"{tmp}/nodes")
+        frag_dirs.append(f"{tmp}/nodes")
     if ways is not None:
         nd_frag = F.concat_ws(
             "",
@@ -171,9 +182,16 @@ def write_osm_xml(nodes: DataFrame | None, ways: DataFrame | None,
                 F.lit('<way id="'), F.col("id").cast("string"),
                 F.lit('" version="'), bump, F.lit('" action="modify">\n'),
                 nd_frag, tag_frag(F.col("tags")), F.lit("</way>"),
-            ).alias("x")
+            ).alias("value")
         )
-        parts.extend(r.x for r in frags.collect())
-    parts.append("</osm>")
+        frags.write.mode("overwrite").text(f"{tmp}/ways")
+        frag_dirs.append(f"{tmp}/ways")
     with open(filespec, "w") as f:
-        f.write("\n".join(parts) + "\n")
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<osm version="0.6" generator="osm-merge-spark">\n')
+        for d in frag_dirs:
+            for part in sorted(glob.glob(f"{d}/part-*")):
+                with open(part) as pf:
+                    shutil.copyfileobj(pf, f)
+        f.write("</osm>\n")
+    shutil.rmtree(tmp, ignore_errors=True)

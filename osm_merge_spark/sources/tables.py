@@ -55,3 +55,40 @@ def read_table(spark: SparkSession, target: str) -> DataFrame:
     if iceberg_available(spark):
         return spark.read.format("iceberg").load(target)
     return spark.read.parquet(target)
+
+
+def commit_table(df: DataFrame, target: str,
+                 partition_by: list[str] | None = None) -> None:
+    """Atomically commit df as the new contents of target.
+
+    The COMMIT STRATEGY lives here, behind the seam, so pipeline stages
+    (plans/pipeline.py) are backend-agnostic:
+
+      - Iceberg: writeTo().createOrReplace() — a native snapshot commit
+        (atomic on any store, including object stores).
+      - parquet fallback: write to a tmp sibling then rename. Rename is
+        atomic only on real filesystems (local/HDFS) — it does NOT exist
+        on object stores, which is exactly why a production deployment
+        configures the Iceberg catalog and takes the first branch.
+    """
+    spark = df.sparkSession
+    if iceberg_available(spark):
+        write_table(df, target, partition_by)
+        return
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
+    write_table(df, tmp, partition_by)
+    if os.path.exists(target):
+        shutil.rmtree(target)
+    os.rename(tmp, target)
+
+
+def table_exists(spark: SparkSession, target: str) -> bool:
+    if iceberg_available(spark):
+        return spark.catalog.tableExists(target)
+    import os
+
+    return os.path.exists(target)

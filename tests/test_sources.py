@@ -148,3 +148,71 @@ def test_table_io_abstraction(spark, tmp_path):
     back = tables.read_table(spark, target)
     assert back.count() == 50
     assert len([d for d in os.listdir(target) if d.startswith("bucket=")]) == 4
+
+
+def test_write_osm_xml_distributed_large(spark, tmp_path):
+    """S8 at scale: 60k generated ways through the sink — fragments are
+    written by executors (df.write.text) and only STREAMED by the driver,
+    so this must complete without materializing rows driver-side; the
+    output must re-parse with exact id/tag fidelity."""
+    n = 60_000
+    ways = spark.range(n).select(
+        F.col("id"),
+        F.lit(1).alias("version"),
+        F.array(F.col("id") * 2, F.col("id") * 2 + 1).alias("refs"),
+        F.map_from_arrays(
+            F.array(F.lit("name")),
+            F.array(F.concat(F.lit("Way <#"), F.col("id"), F.lit(">"))),
+        ).alias("tags"),
+    )
+    out = str(tmp_path / "big.osm")
+    osm_xml.write_osm_xml(None, ways, out)
+
+    back = osm_xml.read_ways(spark, out)
+    assert back.count() == n
+    sample = {r.id: r for r in back.filter(F.col("id") < 5).collect()}
+    assert sample[3].tags["name"] == "Way <#3>"
+    assert list(sample[3].refs) == [6, 7]
+    assert sample[3].version == 2  # bumped
+
+
+def test_odk_csv_ingest_to_conflation(spark, tmp_path):
+    """S3: an ODK Central CSV export through read_odk_csv into the
+    conflation ladder — group prefixes become tag keys, the geopoint
+    splits into lon/lat, metadata columns are dropped."""
+    from osm_merge_spark.operators.conflate import ConflateParams, conflate
+    from osm_merge_spark.sources.odk import read_odk_csv
+
+    csv = tmp_path / "submissions.csv"
+    csv.write_text(
+        "instanceID,SubmissionDate,xlocation,all-name,all-amenity,"
+        "all-building\n"
+        "uuid:1,2024-01-01,43.7001 -108.7001 1650.0 4.2,Bear Lake Road,"
+        ",yes\n"
+        "uuid:2,2024-01-02,43.7002 -108.7002 1651.0 3.8,Cafe Elk,cafe,\n"
+        "uuid:3,2024-01-03,,No Location,,\n"
+    )
+    pois = read_odk_csv(spark, str(csv))
+    rows = {r.image_id: r for r in pois.collect()}
+    assert set(rows) == {"uuid:1", "uuid:2"}  # no-geopoint row dropped
+    assert rows["uuid:1"].caption == "Bear Lake Road"
+    assert rows["uuid:1"].lon == -108.7001 and rows["uuid:1"].lat == 43.7001
+    assert rows["uuid:1"].tags == {"name": "Bear Lake Road",
+                                   "building": "yes"}
+    assert "submissiondate" not in rows["uuid:2"].tags
+    assert rows["uuid:2"].tags["amenity"] == "cafe"
+
+    # straight into the POI conflation ladder against a tiny layer
+    layer = spark.createDataFrame(
+        [(1, 1, "Point", [-108.7001], [43.7001],
+          {"name": "Bear Lake Road"}, "Bear Lake Road")],
+        "feature_id long, version int, geom_type string,"
+        " xs array<double>, ys array<double>,"
+        " tags map<string,string>, caption string",
+    )
+    matched, new = conflate(
+        pois, layer, ConflateParams(threshold_m=10.0), layer_is_points=True
+    )
+    m = matched.collect()
+    assert {r.image_id for r in m} == {"uuid:1"}
+    assert {r.image_id for r in new.collect()} == {"uuid:2"}
