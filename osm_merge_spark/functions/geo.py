@@ -135,6 +135,37 @@ def point_in_fixed_ring(lon: Column, lat: Column,
     return crossings % 2 == 1
 
 
+def ring_area(xs: Column, ys: Column) -> Column:
+    """Shoelace area of a packed ring in squared input units (T4:
+    tm-splitter.py:181-184 drops polygons with shapely .area < 1e-5 —
+    same deg² quantity). Wrapping index handles open and closed rings;
+    the fold is strict left-to-right so a SQL mirror is bit-exact."""
+    n = F.size(xs)
+    # translate to the first vertex before the cross products: raw
+    # lon/lat shoelace terms are ~1e4 in magnitude while sliver areas are
+    # ~1e-9 — catastrophic cancellation loses 4+ digits of the result.
+    x1, y1 = F.element_at(xs, 1), F.element_at(ys, 1)
+
+    def nxt(i):
+        return F.when(i == n, F.lit(1)).otherwise(i + 1)
+
+    terms = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: (F.element_at(xs, i) - x1) * (F.element_at(ys, nxt(i)) - y1)
+        - (F.element_at(xs, nxt(i)) - x1) * (F.element_at(ys, i) - y1),
+    )
+    return F.abs(
+        F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+    ) / F.lit(2.0)
+
+
+def tiny_polygon_filter(df, xs: str = "xs", ys: str = "ys",
+                        min_area: float = 1e-5):
+    """T4: drop administrative-sliver polygons below min_area deg²
+    (tm-splitter.py:181-184)."""
+    return df.filter(ring_area(F.col(xs), F.col(ys)) >= F.lit(min_area))
+
+
 def ring_centroid_x(xs: Column) -> Column:
     """Vertex-average centroid x of a packed ring (ref uses shapely
     .centroid, conflatePOI.py:112-113; vertex average is the documented

@@ -487,7 +487,121 @@ def _sql_etl_usgs_trails() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-part geometry explode (conflator.py:485-528 dispatch) over part
+# ---------------------------------------------------------------------------
+_MP_LON0 = -108.9
+_MP_LAT0 = 43.5
+
+
+def q_multipart_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-part NaN-separated synthetic polylines through the generic
+    operators/multipart.explode_parts — the oracle recomputes each part
+    from the same closed-form construction."""
+    from ..operators.multipart import explode_parts
+
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+    pk = F.col("p_partkey")
+    n1 = (pk % 3 + 2).cast("int")
+    n2 = ((pk % 5) % 3 + 2).cast("int")
+
+    def seg(n, base_lon, base_lat):
+        xs = F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.lit(base_lon) + i.cast("double") * F.lit(0.001),
+        )
+        ys = F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.lit(base_lat) + i.cast("double") * F.lit(0.0005),
+        )
+        return xs, ys
+
+    xs1, ys1 = seg(n1, _MP_LON0, _MP_LAT0)
+    xs2, ys2 = seg(n2, _MP_LON0 + 1.0, _MP_LAT0 + 0.1)
+    nan = F.array(F.lit(float("nan")))
+    df = pt.select(
+        pk.alias("rid"),
+        F.concat(xs1, nan, xs2).alias("xs"),
+        F.concat(ys1, nan, ys2).alias("ys"),
+    )
+    parts = explode_parts(df)
+    return parts.select(
+        "rid",
+        F.col("part_idx").cast("int").alias("part_idx"),
+        F.size("xs").alias("n_pts"),
+        F.floor(F.element_at("xs", 1) * F.lit(1.0e6)).cast("long").alias("x0_e6"),
+        F.floor(F.element_at("xs", -1) * F.lit(1.0e6)).cast("long").alias("xl_e6"),
+        F.floor(F.element_at("ys", -1) * F.lit(1.0e6)).cast("long").alias("yl_e6"),
+    )
+
+
+def _sql_multipart_explode() -> str:
+    from ..functions.geo import dlit
+
+    n1 = "(CAST(p_partkey % 3 + 2 AS INT))"
+    n2 = "(CAST((p_partkey % 5) % 3 + 2 AS INT))"
+
+    def part_select(idx, n, lon0, lat0):
+        x0 = dlit(lon0)
+        last_x = f"({x0} + CAST({n} - 1 AS DOUBLE) * {dlit(0.001)})"
+        last_y = f"({dlit(lat0)} + CAST({n} - 1 AS DOUBLE) * {dlit(0.0005)})"
+        return (
+            f"SELECT p_partkey AS rid, {idx} AS part_idx,"
+            f" {n} AS n_pts,"
+            f" CAST(floor({x0} * 1.0e6) AS BIGINT) AS x0_e6,"
+            f" CAST(floor({last_x} * 1.0e6) AS BIGINT) AS xl_e6,"
+            f" CAST(floor({last_y} * 1.0e6) AS BIGINT) AS yl_e6"
+            " FROM part"
+        )
+
+    return (
+        part_select(0, n1, _MP_LON0, _MP_LAT0)
+        + " UNION ALL "
+        + part_select(1, n2, _MP_LON0 + 1.0, _MP_LAT0 + 0.1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4 tiny-polygon filter: shoelace ring area vs the closed-form oracle
+# ---------------------------------------------------------------------------
+def q_ring_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square rings of side (pk%200)/20000 deg; the engine computes the
+    generic shoelace area + T4 filter, the oracle knows side² in closed
+    form (independent check of the fold)."""
+    from ..functions.geo import ring_area
+
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+    pk = F.col("p_partkey")
+    side = (pk % 200).cast("double") / F.lit(20000.0)
+    x0 = F.lit(-108.9) + (pk % 7).cast("double") * F.lit(0.01)
+    y0 = F.lit(43.5)
+    xs = F.array(x0, x0 + side, x0 + side, x0, x0)
+    ys = F.array(y0, y0, y0 + side, y0 + side, y0)
+    area = ring_area(xs, ys)
+    return pt.select(
+        pk.alias("rid"),
+        # round, not floor: the shoelace fold lands within ulps of the
+        # exact side² (never near .5), while floor flips at the boundary
+        F.round(area * F.lit(1.0e12), 0).cast("long").alias("area_e12"),
+        (area < F.lit(1e-5)).alias("tiny"),
+    )
+
+
+def _sql_ring_area() -> str:
+    from ..functions.geo import dlit
+
+    side = "(CAST(p_partkey % 200 AS DOUBLE) / 20000.0e0)"
+    area = f"({side} * {side})"
+    return (
+        f"SELECT p_partkey AS rid,"
+        f" CAST(round({area} * 1.0e12, 0) AS BIGINT) AS area_e12,"
+        f" ({area} < {dlit(1e-5)}) AS tiny FROM part"
+    )
+
+
 QUERIES = {
+    "multipart_explode": (q_multipart_explode, _sql_multipart_explode()),
+    "ring_area": (q_ring_area, _sql_ring_area()),
     "etl_mvum": (q_etl_mvum, _sql_etl_mvum()),
     "etl_roadcore": (q_etl_roadcore, _sql_etl_roadcore()),
     "etl_nps": (q_etl_nps, _sql_etl_nps()),

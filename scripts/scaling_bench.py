@@ -78,11 +78,21 @@ def _worker(args) -> None:
         n_out = matched.count()
         return time.time() - t0, n_out
 
+    def release_dead_shuffles() -> None:
+        # fresh-plan protocol: each rep abandons its plan, but the shuffle
+        # files it wrote stay on (tmpfs!) disk until the driver GC lets
+        # the ContextCleaner collect them — at large n the accumulated
+        # reps' shuffles compete with the heap for physical RAM and the
+        # later reps degrade (observed: growing walls at n=16M). Nudge.
+        spark.sparkContext._jvm.System.gc()
+
     run()  # warmup (JVM/JIT/codegen caches)
+    release_dead_shuffles()
     walls, n_out = [], 0
     for _ in range(args.reps):
         w, n_out = run()
         walls.append(w)
+        release_dead_shuffles()
     best = min(walls)
     print(json.dumps({
         "cores": args.cores, "wall_s": round(best, 2),
