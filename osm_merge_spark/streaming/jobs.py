@@ -108,6 +108,48 @@ def conflate_stream(images_stream: DataFrame, layer: DataFrame,
     )
 
 
+def dedup_stream(records: DataFrame, key_col: str = "image_id",
+                 keep_cols: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST occurrence of each key
+    across the whole (unbounded) stream — the streaming twin of
+    `dropDuplicates([key])`, as a CUSTOM STATEFUL operator via
+    applyInPandasWithState (one boolean of state per key; a re-ingested
+    firehose at 10^12 rows can't buffer history, only key state).
+
+    The reference has no streaming dedup (its duplicate handling is the
+    batch poidup scan); this is the training-data-pipeline capability —
+    dedup at ingest, before anything downstream pays for the duplicate.
+    Output columns: key_col + keep_cols (defaults to all other columns).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keep = keep_cols or [c for c in records.columns if c != key_col]
+    out_schema = records.select(key_col, *keep).schema
+
+    def first_only(key, pdf_iter, state: GroupState):
+        if state.exists:
+            # key already emitted in an earlier micro-batch — drain input
+            for _ in pdf_iter:
+                pass
+            return
+        first_row = None
+        for pdf in pdf_iter:
+            if len(pdf) and first_row is None:
+                first_row = pdf.iloc[[0]][[key_col, *keep]]
+        if first_row is not None:
+            state.update((True,))
+            yield first_row
+
+    return records.groupBy(key_col).applyInPandasWithState(
+        first_only,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
                       output_mode: str = "complete",
                       query_name: str = "q") -> DataFrame:

@@ -96,3 +96,31 @@ def test_streaming_conflation_equals_batch(spark, tmp_path):
     gn = {r.image_id for r in got_new.collect()}
     wn = {r.image_id for r in want_new.collect()}
     assert gn == wn and len(gn) > 0
+
+
+def test_dedup_stream_equals_batch_dropduplicates(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): streaming
+    first-occurrence dedup over a duplicated multi-file stream must keep
+    exactly one row per key — state survives across micro-batches (the
+    same key arriving in a LATER file must still be dropped)."""
+    from osm_merge_spark.data.synth import synth_images
+
+    n = 400
+    images = synth_images(spark, n).select("image_id", "caption", "lon", "lat")
+    # two copies in two separate files → duplicates arrive in different
+    # micro-batches with maxFilesPerTrigger=1
+    src = str(tmp_path / "dups")
+    images.coalesce(1).write.parquet(src)
+    images.coalesce(1).write.mode("append").parquet(src)
+
+    stream = jobs.chunked_ingest(spark, src, images.schema,
+                                 max_files_per_trigger=1)
+    deduped = jobs.dedup_stream(stream, "image_id")
+    got = jobs.run_available_now(
+        deduped, str(tmp_path / "ck_dedup"), output_mode="append",
+        query_name="dd",
+    )
+    ids = [r.image_id for r in got.collect()]
+    assert len(ids) == n                      # one survivor per key
+    assert len(set(ids)) == n
+    assert set(ids) == {r.image_id for r in images.collect()}
