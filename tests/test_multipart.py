@@ -123,3 +123,41 @@ def test_multipart_conflation_matches_bruteforce(spark):
     # changes semantics exactly where it should. (The packed array
     # contains NaNs, so the single-geometry path would be numerically
     # poisoned; we only check the multipart path's correctness here.)
+
+
+def test_explode_parts_roundtrip_property(spark):
+    """Property: concatenating the exploded parts (NaN-separated) must
+    reproduce the original packed arrays, for arbitrary part structures."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for rid in range(60):
+        n_parts = rng.randint(1, 4)
+        xs, ys = [], []
+        parts = []
+        for _ in range(n_parts):
+            ln = rng.randint(1, 5)
+            px = [round(rng.uniform(-109, -108), 6) for _ in range(ln)]
+            py = [round(rng.uniform(43, 44), 6) for _ in range(ln)]
+            parts.append((px, py))
+            if xs:
+                xs.append(NAN)
+                ys.append(NAN)
+            xs.extend(px)
+            ys.extend(py)
+        rows.append((rid, xs, ys, parts))
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in rows],
+        "feature_id long, xs array<double>, ys array<double>",
+    )
+    got = {}
+    for r in explode_parts(df).collect():
+        got.setdefault(r.feature_id, []).append(
+            (r.part_idx, list(r.xs), list(r.ys))
+        )
+    for rid, _, _, parts in rows:
+        rec = sorted(got[rid])
+        assert len(rec) == len(parts)
+        for (idx, gx, gy), (px, py) in zip(rec, parts):
+            assert gx == px and gy == py
