@@ -794,21 +794,26 @@ def usgs_highway_entries(name_c: Column, source_c: Column,
         {"Rd": "Road", "Hwy": "Highway", "Ln": "Lane", "Mnt": "Mountain",
          "E": "East", "W": "West", "N": "North", "S": "South"},
     )
+    def tail(start: int) -> Column:
+        # substring-from (Column-safe: nm may be a map access, not a
+        # physical column named 'name')
+        return nm.substr(F.lit(start), F.length(nm))
+
     name = (
         F.when(nm.isNull() | is_usfs, F.lit(None).cast("string"))
-        .when(is_rd, F.concat(F.lit("County Road "), F.expr("substring(name, 4)")))
-        .when(is_cord, F.concat(F.lit("County Road "), F.expr("substring(name, 7)")))
+        .when(is_rd, F.concat(F.lit("County Road "), tail(4)))
+        .when(is_cord, F.concat(F.lit("County Road "), tail(7)))
         # null guard required: Spark's concat_ws collapses a null words
         # array to '' while the SQL mirror keeps NULL
         .otherwise(expanded)
     )
     ref_final = (
-        F.when(is_rd, F.concat(F.lit("CR "), F.expr("substring(name, 4)")))
-        .when(is_cord, F.concat(F.lit("CR "), F.expr("substring(name, 7)")))
+        F.when(is_rd, F.concat(F.lit("CR "), tail(4)))
+        .when(is_cord, F.concat(F.lit("CR "), tail(7)))
         .otherwise(ref)
     )
     ref_usfs = F.when(
-        is_usfs, F.concat(F.lit("FR "), F.expr("substring(name, 9)"))
+        is_usfs, F.concat(F.lit("FR "), tail(9))
     ).otherwise(ref_usfs0)
     entries = {
         "highway": F.lit("unclassified"),

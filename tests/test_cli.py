@@ -143,3 +143,43 @@ def test_cli_etl_mvum_geojson_roundtrip(tmp_path, capsys):
     assert props["smoothness"] == "good"
     assert props["surface"] == "dirt"
     assert props["operator"] == "US Forest Service"
+
+
+def test_cli_etl_other_sources(tmp_path, capsys):
+    """nps / usgs / roadcore / trails through the same console entry."""
+    cases = {
+        "nps": ({"MAPSOURCE": "NPS GIS", "TRLNAME": "LAMAR VALLEY TRAIL",
+                 "TRLSURFACE": "Gravel", "SEASONAL": "Yes"},
+                {"name": "Lamar Valley Trail", "surface": "gravel",
+                 "seasonal": "yes", "source": "NPS GIS"}),
+        "roadcore": ({"ID": "88", "NAME": "OTTER CG",
+                      "OPER_MAINT": "5 - HIGH", "SURFACE_TY": "AGG"},
+                     {"ref:usfs": "FR 88", "smoothness": "excellent",
+                      "surface": "gravel"}),
+        "trails": ({"MAINTAINER": "National Park Service",
+                    "TRLNAME": "Mystic Falls Trail",
+                    "TRLUSE": "Bike|Hiker/Pedestrian",
+                    "TRLSURFACE": "Earth", "TRLALTNAME": "Unknown"},
+                   {"highway": "path", "foot": "designated",
+                    "bicycle": "yes", "motor_vehicle": "no",
+                    "surface": "dirt",
+                    "operator": "National Park Service"}),
+        "usgs": ({"name": "USFS Rd 1234", "source_ori": "USGS Topo"},
+                 {"highway": "unclassified", "ref:usfs": "FR 1234",
+                  "source": "USGS Topo"}),
+    }
+    for source, (props, want) in cases.items():
+        fc = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": props,
+             "geometry": {"type": "LineString",
+                          "coordinates": [[-106.9, 40.9], [-106.8, 40.95]]}},
+        ]}
+        src = tmp_path / f"{source}.geojson"
+        src.write_text(json.dumps(fc))
+        out = tmp_path / f"{source}_out.geojson"
+        r = _run(capsys, "etl", "--source", source, "--input", str(src),
+                 "--out", str(out))
+        assert r["features"] == 1, source
+        got = json.loads(out.read_text())["features"][0]["properties"]
+        for k, v in want.items():
+            assert got.get(k) == v, (source, k, got)
