@@ -236,6 +236,86 @@ def minhash_lsh_sql(table: str = "documents", text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# Perceptual-hash (phash) near-dup
+# ---------------------------------------------------------------------------
+PHASH_BITS = 64
+
+
+def phash_near_dup(df: DataFrame, phash_col: str = "phash",
+                   id_col: str = "doc_id",
+                   max_hamming: int = 3,
+                   n_bands: int | None = None) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash hamming distance ≤ k — the
+    first dedup pass of an image training-data pipeline (the input contract
+    ships phash:int64 per BASELINE.json input_hint).
+
+    Banded, never all-pairs: split the 64-bit hash into n_bands disjoint
+    chunks and equi-join on (band, chunk) keys. With n_bands = k+1 the
+    pigeonhole principle makes recall EXACT (two hashes within hamming k
+    differ in ≤ k chunks, so they agree on ≥ 1 of the k+1 chunks) — this is
+    a guaranteed-complete result, not an approximation. Refine is native
+    bit_count(x ^ y) (JVM codegen; no Python). At 10^12 rows each band key
+    space is 2^16 buckets × n_bands, and only same-chunk rows ever meet.
+
+    Arithmetic shiftright + mask extracts chunks correctly for NEGATIVE
+    int64 phashes too (a real 64-bit phash stored as signed). Returns
+    distinct (d1, d2, hamming) with d1 < d2.
+    """
+    n_bands = n_bands if n_bands is not None else max_hamming + 1
+    assert PHASH_BITS % n_bands == 0, "bands must tile the 64-bit hash"
+    bb = PHASH_BITS // n_bands
+    mask = (1 << bb) - 1
+    ph = F.col(phash_col)
+    bands = F.array(
+        *[
+            F.shiftright(ph, b * bb).bitwiseAND(F.lit(mask))
+            + F.lit(b << bb)  # band index disambiguates identical chunks
+            for b in range(n_bands)
+        ]
+    )
+    e = df.select(
+        F.col(id_col).alias("doc"), ph.alias("ph"), F.explode(bands).alias("bk")
+    )
+    a = e.select(F.col("doc").alias("d1"), F.col("ph").alias("ph1"), "bk")
+    b = e.select(F.col("doc").alias("d2"), F.col("ph").alias("ph2"), "bk")
+    return (
+        a.join(b, "bk")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1", "d2",
+            F.bit_count(F.col("ph1").bitwiseXOR(F.col("ph2")))
+            .cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .distinct()  # a pair may collide in several bands; dedup AFTER the
+                     # hamming filter so only true pairs reach the shuffle
+    )
+
+
+def phash_near_dup_sql(table: str, phash_expr: str, id_col: str = "doc_id",
+                       max_hamming: int = 3,
+                       n_bands: int | None = None) -> str:
+    """DuckDB mirror. phash_expr must be NON-NEGATIVE (< 2^63): DuckDB's
+    `&` on negative BIGINTs diverges from two's-complement masking, so the
+    oracle contract is positive hashes only (the engine side has no such
+    restriction)."""
+    n_bands = n_bands if n_bands is not None else max_hamming + 1
+    bb = PHASH_BITS // n_bands
+    mask = (1 << bb) - 1
+    keys = ", ".join(
+        f"(((ph >> {b * bb}) & {mask}) + {b << bb})" for b in range(n_bands)
+    )
+    return (
+        f"WITH e AS (SELECT {id_col} AS doc, {phash_expr} AS ph FROM {table}), "
+        f"bands AS (SELECT doc, ph, unnest([{keys}]) AS bk FROM e) "
+        "SELECT DISTINCT a.doc AS d1, b.doc AS d2,"
+        " CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming"
+        " FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc < b.doc"
+        f" WHERE bit_count(xor(a.ph, b.ph)) <= {max_hamming}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -180,16 +180,29 @@ def knn_unbounded(primary: DataFrame, secondary: DataFrame, k: int,
 
     primary: (p_key, lon, lat); secondary: (s_key, xs, ys) points.
     Returns (p_key, s_key, rank, dist_m).
+
+    Lineage control (round-2 verdict fix): the naive loop rebuilt round i's
+    plan ON TOP of rounds 1..i-1's joins — O(rounds²) rescans — and paid a
+    take(1) action per round. Now each round's pairs are persisted and
+    materialized ONCE (by the have_k count that the loop needs anyway), the
+    unsatisfied count is tracked arithmetically (n_rem -= satisfied; no
+    extra action), remaining is persisted per round with the previous
+    round's cache released once its successor is materialized, and the
+    final union reads the cached pairs (InMemoryTableScan — pinned by
+    test_round3_fixes). Round caches stay referenced by the returned plan;
+    the ContextCleaner frees them when the caller drops it.
     """
     from ..functions import geo
     from ..functions.cells import CellGrid
     from . import cell_join
 
     remaining = primary
-    all_pairs = None
+    round_pairs: list[DataFrame] = []
+    rem_handles: list[DataFrame] = []  # persisted remaining DFs we created
     radius = initial_radius_m
+    n_rem = primary.count()
     for _ in range(max_expansions):
-        if not remaining.take(1):
+        if n_rem == 0:
             break
         grid = CellGrid.for_radius(radius, max_abs_lat=75.0)
         pairs = cell_join.candidate_pairs(
@@ -202,16 +215,35 @@ def knn_unbounded(primary: DataFrame, secondary: DataFrame, k: int,
                 F.element_at("xs", 1), F.element_at("ys", 1),
             ),
         ).filter(F.col("dist") <= F.lit(radius)).select(p_key, s_key, "dist")
-        all_pairs = pairs if all_pairs is None else all_pairs.unionByName(pairs)
+        pairs = pairs.persist()
+        round_pairs.append(pairs)
         have_k = (
             pairs.groupBy(p_key).count().filter(F.col("count") >= k).select(p_key)
         )
-        remaining = remaining.join(have_k, p_key, "left_anti")
+        n_sat = have_k.count()  # the ONE action per round: materializes this
+        # round's pairs cache and (en route) this round's remaining cache
+        n_rem -= n_sat
+        # remaining (round-i input) is now materialized, so the cache it was
+        # derived from (round i-1's remaining) can be released — no future
+        # recompute reaches past a materialized MEMORY_AND_DISK cache
+        while len(rem_handles) > 1:
+            rem_handles.pop(0).unpersist()
+        if n_rem == 0:
+            break
+        remaining = remaining.join(have_k, p_key, "left_anti").persist()
+        rem_handles.append(remaining)
         radius *= growth
-    if all_pairs is None:
+    # the returned plan references only the pairs caches; remaining caches
+    # served their purpose once the last round's pairs materialized
+    for h in rem_handles:
+        h.unpersist()
+    if not round_pairs:
         return primary.sparkSession.createDataFrame(
             [], f"{p_key} string, {s_key} long, rank int, dist_m double"
         )
+    all_pairs = round_pairs[0]
+    for pr in round_pairs[1:]:
+        all_pairs = all_pairs.unionByName(pr)
     deduped = all_pairs.dropDuplicates([p_key, s_key])
     w = Window.partitionBy(p_key).orderBy(F.asc("dist"), F.asc(s_key))
     return (

@@ -32,6 +32,36 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      stop_df=NGRAM_STOP_DF)
 
 
+# -- perceptual-hash near-dup ------------------------------------------------
+# The driver's testdata ships no image table, so the oracle derives a
+# deterministic stand-in phash per document: a 60-bit md5 of the 8-word
+# prefix (documents sharing boilerplate prefixes = "near-identical images")
+# XOR a 0-3-low-bit perturbation keyed on doc_id — planting true hamming≤3
+# near-dup pairs exactly where exact-dedup groups exist. Positive by
+# construction (DuckDB's & diverges on negative BIGINTs; engine side has no
+# such restriction — see phash_near_dup_sql). In production this column IS
+# the input_hint's phash:int64 on the image table.
+from ..functions import hashes  # noqa: E402
+
+
+def _derived_phash_col() -> F.Column:
+    ws = text.words(F.col("text"))
+    key = F.concat_ws(" ", F.slice(ws, 1, 8))
+    pert = F.expr("shiftleft(1L, CAST(doc_id % 4 AS INT)) - 1L")
+    return hashes.md5i(key, 15).bitwiseXOR(pert)
+
+
+def _derived_phash_sql() -> str:
+    ws = text.words_sql("text")
+    key = f"array_to_string(list_slice({ws}, 1, 8), ' ')"
+    return f"xor({hashes.md5i_sql(key, 15)}, (1 << (doc_id % 4)) - 1)"
+
+
+def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("phash", _derived_phash_col())
+    return dedup.phash_near_dup(docs)
+
+
 # -- MinHash + LSH -----------------------------------------------------------
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
@@ -146,6 +176,10 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, dedup.exact_groups_sql()),
     "dedup_ngram": (q_dedup_ngram, dedup.ngram_jaccard_sql(stop_df=NGRAM_STOP_DF)),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, dedup.minhash_lsh_sql()),
+    "dedup_phash": (
+        q_dedup_phash,
+        dedup.phash_near_dup_sql("documents", _derived_phash_sql()),
+    ),
     "dedup_simhash": (q_dedup_simhash, dedup.simhash_sql()),
     "text_quality": (q_text_quality, _sql_text_quality()),
     "lang_id": (q_lang_id, _sql_lang_id()),
