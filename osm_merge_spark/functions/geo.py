@@ -135,6 +135,95 @@ def point_in_fixed_ring(lon: Column, lat: Column,
     return crossings % 2 == 1
 
 
+def any_vertex_in_fixed_ring(xs: Column, ys: Column,
+                             ring: list[tuple[float, float]]) -> Column:
+    """True when ANY vertex of a packed line lies inside the fixed ring —
+    the `contains` half of the reference's way filter
+    (utilities/osmhighways.py:243-253: keep a way when the boundary
+    contains OR intersects it)."""
+    return F.exists(
+        F.sequence(F.lit(1), F.size(xs)),
+        lambda i: point_in_fixed_ring(
+            F.element_at(xs, i), F.element_at(ys, i), ring
+        ),
+    )
+
+
+def segments_cross_fixed_ring(xs: Column, ys: Column,
+                              ring: list[tuple[float, float]]) -> Column:
+    """True when ANY segment of a packed line PROPERLY crosses ANY edge of
+    the fixed ring — the `intersects` half of osmhighways.py:243-253. This
+    catches the ways vertex-PIP silently drops: a road passing straight
+    through the AOI whose vertices all fall outside.
+
+    Proper-crossing test per (segment, edge): the two endpoints of each
+    straddle the other's supporting line (strict orientation-sign products
+    < 0). Endpoint-touching contacts are measure-zero for survey data and
+    excluded by BOTH engines identically, so the SQL mirror is exact. The
+    ring's edges unroll into the exists-lambda — all whole-stage codegen,
+    no Python, no explode (the per-way fan-out stays inside one row).
+
+    Guarded for 1-vertex degenerates (sequence(1,0) would descend and
+    element_at(_, 0) throws under ANSI); CASE WHEN branches lazily.
+    """
+    n_edges = len(ring)
+
+    def seg_hits(i: Column) -> Column:
+        px, py = F.element_at(xs, i), F.element_at(ys, i)
+        qx, qy = F.element_at(xs, i + 1), F.element_at(ys, i + 1)
+        hit = F.lit(False)
+        for e in range(n_edges):
+            ax, ay = ring[e]
+            bx, by = ring[(e + 1) % n_edges]
+            # orient(P,Q,R) = (Qx-Px)(Ry-Py) - (Qy-Py)(Rx-Px)
+            d1 = (qx - px) * (F.lit(ay) - py) - (qy - py) * (F.lit(ax) - px)
+            d2 = (qx - px) * (F.lit(by) - py) - (qy - py) * (F.lit(bx) - px)
+            d3 = (F.lit(bx - ax)) * (py - F.lit(ay)) - (F.lit(by - ay)) * (px - F.lit(ax))
+            d4 = (F.lit(bx - ax)) * (qy - F.lit(ay)) - (F.lit(by - ay)) * (qx - F.lit(ax))
+            hit = hit | ((d1 * d2 < F.lit(0.0)) & (d3 * d4 < F.lit(0.0)))
+        return hit
+
+    return F.when(
+        F.size(xs) >= F.lit(2),
+        F.exists(F.sequence(F.lit(1), F.size(xs) - 1), seg_hits),
+    ).otherwise(F.lit(False))
+
+
+def point_in_fixed_ring_sql(lon: str, lat: str,
+                            ring: list[tuple[float, float]]) -> str:
+    """ANSI-SQL mirror of point_in_fixed_ring (same edge order, same
+    half-open crossing convention) for the DuckDB oracles."""
+    n = len(ring)
+    terms = []
+    for i in range(n):
+        xi, yi = ring[i]
+        xj, yj = ring[(i - 1) % n]
+        terms.append(
+            f"(CASE WHEN (({dlit(yi)} > {lat}) != ({dlit(yj)} > {lat})) THEN"
+            f" (CASE WHEN {lon} < (({dlit(xj)} - {dlit(xi)}) * ({lat} - {dlit(yi)})"
+            f" / ({dlit(yj)} - {dlit(yi)}) + {dlit(xi)}) THEN 1 ELSE 0 END)"
+            " ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def segment_crosses_fixed_ring_sql(px: str, py: str, qx: str, qy: str,
+                                   ring: list[tuple[float, float]]) -> str:
+    """ANSI-SQL mirror of segments_cross_fixed_ring's per-segment test:
+    OR over the ring's edges of the strict proper-crossing predicate."""
+    n = len(ring)
+    clauses = []
+    for e in range(n):
+        ax, ay = ring[e]
+        bx, by = ring[(e + 1) % n]
+        d1 = f"(({qx} - {px}) * ({dlit(ay)} - {py}) - ({qy} - {py}) * ({dlit(ax)} - {px}))"
+        d2 = f"(({qx} - {px}) * ({dlit(by)} - {py}) - ({qy} - {py}) * ({dlit(bx)} - {px}))"
+        d3 = f"({dlit(bx - ax)} * ({py} - {dlit(ay)}) - {dlit(by - ay)} * ({px} - {dlit(ax)}))"
+        d4 = f"({dlit(bx - ax)} * ({qy} - {dlit(ay)}) - {dlit(by - ay)} * ({qx} - {dlit(ax)}))"
+        clauses.append(f"({d1} * {d2} < 0 AND {d3} * {d4} < 0)")
+    return "(" + " OR ".join(clauses) + ")"
+
+
 def ring_area(xs: Column, ys: Column) -> Column:
     """Shoelace area of a packed ring in squared input units (T4:
     tm-splitter.py:181-184 drops polygons with shapely .area < 1e-5 —

@@ -190,6 +190,76 @@ def _images_df_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- derived ways table (packed polylines; AOI line-clip fixture) -----------
+# class = s_suppkey % 4 plants the four boundary relationships by
+# construction (FIXTURES-style known truth):
+#   0: fully inside (3 vertices)          → kept via vertex PIP
+#   1: fully outside, west of the AOI     → dropped
+#   2: spans the whole AOI east-west with ZERO interior vertices — the
+#      case vertex-PIP alone silently drops (osmhighways.py:243-253 keeps
+#      it: boundary `intersects` the way)  → kept via segment crossing only
+#   3: hugs the south boundary from outside, never crossing → dropped
+def ways_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("s_suppkey").cast("long")
+    cls = (k % 4).cast("int")
+    u1, u2 = u01(k, 11), u01(k, 12)
+    in_x = F.lit(LON_MIN) + F.lit(0.15) + u1 * F.lit(0.5)
+    in_y = F.lit(LAT_MIN) + F.lit(0.1) + u2 * F.lit(0.3)
+    w_x = F.lit(LON_MIN) - F.lit(0.3) + u1 * F.lit(0.2)
+    w_y = F.lit(LAT_MIN) + u2 * F.lit(0.5)
+    x_y = F.lit(LAT_MIN) + F.lit(0.05) + u2 * F.lit(0.4)
+    s_x = F.lit(LON_MIN) + u1 * F.lit(0.8)
+    s_y = F.lit(LAT_MIN) - F.lit(0.07) + u2 * F.lit(0.05)
+    xs = (
+        F.when(cls == 0, F.array(in_x, in_x + F.lit(0.01), in_x + F.lit(0.02)))
+        .when(cls == 1, F.array(w_x, w_x + F.lit(0.05)))
+        .when(cls == 2, F.array(F.lit(LON_MIN - 0.05), F.lit(LON_MAX + 0.05)))
+        .otherwise(F.array(s_x, s_x + F.lit(0.1)))
+    )
+    ys = (
+        F.when(cls == 0, F.array(in_y, in_y + F.lit(0.008), in_y))
+        .when(cls == 1, F.array(w_y, w_y + F.lit(0.02)))
+        .when(cls == 2, F.array(x_y, x_y))
+        .otherwise(F.array(s_y, s_y))
+    )
+    return sup.select(
+        k.alias("way_id"), cls.alias("wcls"), xs.alias("xs"), ys.alias("ys")
+    )
+
+
+def _ways_sql() -> str:
+    k = "CAST(s_suppkey AS BIGINT)"
+    u1, u2 = u01_sql(k, 11), u01_sql(k, 12)
+    in_x = f"({dlit(LON_MIN)} + {dlit(0.15)} + {u1} * {dlit(0.5)})"
+    in_y = f"({dlit(LAT_MIN)} + {dlit(0.1)} + {u2} * {dlit(0.3)})"
+    w_x = f"({dlit(LON_MIN)} - {dlit(0.3)} + {u1} * {dlit(0.2)})"
+    w_y = f"({dlit(LAT_MIN)} + {u2} * {dlit(0.5)})"
+    x_y = f"({dlit(LAT_MIN)} + {dlit(0.05)} + {u2} * {dlit(0.4)})"
+    s_x = f"({dlit(LON_MIN)} + {u1} * {dlit(0.8)})"
+    s_y = f"({dlit(LAT_MIN)} - {dlit(0.07)} + {u2} * {dlit(0.05)})"
+    xs = (
+        f"(CASE WHEN ({k} % 4) = 0 THEN [{in_x}, {in_x} + {dlit(0.01)},"
+        f" {in_x} + {dlit(0.02)}]"
+        f" WHEN ({k} % 4) = 1 THEN [{w_x}, {w_x} + {dlit(0.05)}]"
+        f" WHEN ({k} % 4) = 2 THEN [{dlit(LON_MIN - 0.05)}, {dlit(LON_MAX + 0.05)}]"
+        f" ELSE [{s_x}, {s_x} + {dlit(0.1)}] END)"
+    )
+    ys = (
+        f"(CASE WHEN ({k} % 4) = 0 THEN [{in_y}, {in_y} + {dlit(0.008)}, {in_y}]"
+        f" WHEN ({k} % 4) = 1 THEN [{w_y}, {w_y} + {dlit(0.02)}]"
+        f" WHEN ({k} % 4) = 2 THEN [{x_y}, {x_y}]"
+        f" ELSE [{s_y}, {s_y}] END)"
+    )
+    return (
+        f"SELECT {k} AS way_id, CAST(({k} % 4) AS INT) AS wcls,"
+        f" {xs} AS xs, {ys} AS ys FROM supplier"
+    )
+
+
+WAYS_SQL = _ways_sql()
+
+
 _KEY_SQL = "(CAST(l_orderkey * 8 + l_linenumber AS BIGINT))"
 _CLS_SQL = f"({_KEY_SQL} % 10)"
 

@@ -80,6 +80,82 @@ def _sql_knn_k3() -> str:
 
 
 # ---------------------------------------------------------------------------
+# knn_unbounded — J3 with no distance bound: geometric cell-ring expansion.
+# A sparse probe subset keeps the DuckDB brute-force oracle (probe × layer
+# cross join) tractable; the engine never materializes that cross product —
+# each round is a cell equi-join at radius r·4^i over only the primaries
+# still short of k neighbors (operators/knn.py:166).
+# ---------------------------------------------------------------------------
+KNN_UNB_MOD = 997   # ikey % 997 == 0 → ~60 probes at sf0.01
+KNN_UNB_K = 4
+
+
+def q_knn_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probes = base.images_df(spark, sf_dir).filter(
+        F.col("ikey") % KNN_UNB_MOD == 0
+    ).select("image_id", "lon", "lat")
+    lyr = base.layer_df(spark, sf_dir).select(
+        "feature_id", F.array("s_lon").alias("xs"), F.array("s_lat").alias("ys")
+    )
+    return knn.knn_unbounded(
+        probes, lyr, k=KNN_UNB_K, initial_radius_m=200.0
+    )
+
+
+def _sql_knn_unbounded() -> str:
+    hav = geo.haversine_m_sql("lon", "lat", "s_lon", "s_lat")
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), lyr AS ({base.LAYER_SQL}), "
+        f"q AS (SELECT image_id, lon, lat FROM img WHERE ikey % {KNN_UNB_MOD} = 0), "
+        f"scored AS (SELECT image_id, feature_id, {hav} AS dist"
+        " FROM q CROSS JOIN lyr) "
+        "SELECT image_id, feature_id, CAST(rank AS INT) AS rank,"
+        " round(dist, 3) AS dist_m FROM (SELECT *, row_number() OVER"
+        " (PARTITION BY image_id ORDER BY dist ASC, feature_id ASC) AS rank"
+        f" FROM scored) t WHERE rank <= {KNN_UNB_K}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# aoi_clip_ways — F6 for LINE geometries: the reference keeps a way when the
+# boundary `contains` OR `intersects` it (utilities/osmhighways.py:243-253).
+# Vertex PIP alone (the point-feature aoi_clip) silently drops a way that
+# crosses the AOI with zero interior vertices — the fixture's class-2 ways
+# are planted exactly so (span the AOI east-west, both endpoints outside).
+# Expected by construction: classes 0 (inside) and 2 (crossing) kept,
+# 1 (west of AOI) and 3 (hugging the south edge from outside) dropped.
+# ---------------------------------------------------------------------------
+def q_aoi_clip_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.barrier import eval_once
+
+    # barrier: exists() over the packed arrays reads xs/ys once per vertex
+    # per ring edge — without it Catalyst inlines the CASE array builders
+    # into every element_at (same 4×-blowup as the point aoi_clip)
+    ways = eval_once(base.ways_df(spark, sf_dir), ["xs", "ys"])
+    keep = geo.any_vertex_in_fixed_ring(
+        F.col("xs"), F.col("ys"), base.AOI_RING
+    ) | geo.segments_cross_fixed_ring(F.col("xs"), F.col("ys"), base.AOI_RING)
+    return ways.filter(keep).select("way_id", "wcls")
+
+
+def _sql_aoi_clip_ways() -> str:
+    pip = geo.point_in_fixed_ring_sql("vx", "vy", base.AOI_RING)
+    crs = geo.segment_crosses_fixed_ring_sql("px", "py", "qx", "qy", base.AOI_RING)
+    return (
+        f"WITH ways AS ({base.WAYS_SQL}), "
+        "v AS (SELECT way_id, unnest(xs) AS vx, unnest(ys) AS vy FROM ways), "
+        f"ins AS (SELECT DISTINCT way_id FROM v WHERE {pip}), "
+        "si AS (SELECT way_id, xs, ys,"
+        " unnest(generate_series(1, len(xs) - 1)) AS i FROM ways), "
+        "seg AS (SELECT way_id, xs[i] AS px, ys[i] AS py,"
+        " xs[i + 1] AS qx, ys[i + 1] AS qy FROM si), "
+        f"crs AS (SELECT DISTINCT way_id FROM seg WHERE {crs}) "
+        "SELECT way_id, wcls FROM ways WHERE way_id IN"
+        " (SELECT way_id FROM ins UNION SELECT way_id FROM crs)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # buildings — two square layers around part positions
 # ---------------------------------------------------------------------------
 def _building_layer(spark: SparkSession, sf_dir: str, shifted: bool) -> DataFrame:
@@ -427,6 +503,8 @@ QUERIES = {
     "poi_dup": (q_poi_dup, _sql_poi_dup()),
     "knn_fallback": (q_knn_fallback, _sql_knn_fallback()),
     "knn_k3": (q_knn_k3, _sql_knn_k3()),
+    "knn_unbounded": (q_knn_unbounded, _sql_knn_unbounded()),
+    "aoi_clip_ways": (q_aoi_clip_ways, _sql_aoi_clip_ways()),
     "building_pairs": (q_building_pairs, _sql_building_pairs()),
     "building_new": (q_building_new, _sql_building_new()),
     "way_assemble": (q_way_assemble, _sql_way_assemble()),

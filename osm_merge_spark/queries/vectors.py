@@ -56,6 +56,43 @@ def _sql_ann_lsh_pairs() -> str:
     return similarity.lsh_banded_pairs_sql("embeddings", PLANES_BANDED)
 
 
+# -- IVF search (full probe → exact, hence SQL-oracle-checkable) -------------
+IVF_K_CLUSTERS = 8
+IVF_QUERY_MOD = 50  # vec_id % 50 == 0 → 10 query vectors
+IVF_TOPK = 6
+
+
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN promoted to the oracle surface: Lloyd-trained centroids
+    (deterministic init, only k×dim floats ever reach the driver), cluster
+    assignment via the Arrow matmul kernel, then a FULL probe
+    (nprobe = n_clusters) so the result is exactly brute-force cosine top-k
+    — which is what the SQL oracle computes. The pruned-probe variant is
+    covered by tests/test_ivf.py (full-probe == brute force, subset probe
+    ⊆)."""
+    emb = _emb(spark, sf_dir)
+    cents = similarity.ivf_train(emb, k=IVF_K_CLUSTERS, iters=2)
+    assigned = similarity.ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") % IVF_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_search(
+        assigned, cents, queries, k=IVF_TOPK, nprobe=IVF_K_CLUSTERS
+    )
+
+
+def _sql_ivf_search() -> str:
+    cos = similarity.cosine_sql("q.embedding", "n.embedding", DIM)
+    return (
+        f"WITH qs AS (SELECT * FROM embeddings WHERE vec_id % {IVF_QUERY_MOD} = 0), "
+        "scored AS (SELECT q.vec_id AS qid, n.vec_id AS nid,"
+        f" {cos} AS cos FROM qs q JOIN embeddings n ON q.vec_id != n.vec_id) "
+        "SELECT qid, nid, CAST(rank AS INT) AS rank, round(cos, 6) AS cos"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY qid"
+        f" ORDER BY cos DESC, nid ASC) AS rank FROM scored) t WHERE rank <= {IVF_TOPK}"
+    )
+
+
 NEAR_DUP_COS = 0.3  # random 64-d vectors: cos≥0.3 ≈ the top ~0.5% pair tail
 
 
@@ -89,5 +126,6 @@ def _sql_dedup_embedding() -> str:
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, _sql_ann_cosine_topk()),
     "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh_pairs()),
+    "ivf_search": (q_ivf_search, _sql_ivf_search()),
     "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
 }

@@ -82,3 +82,40 @@ def test_knn_unbounded_reads_cached_rounds(spark):
     # left in the final plan are inside stages ABOVE the caches (none —
     # dedup + window are aggregations)
     assert "Join" not in plan.split("InMemoryTableScan")[0]
+
+
+# ---------------------------------------------------------------------------
+# aoi_clip_ways: planted boundary relationships (VERDICT #4) — class 2 ways
+# cross the AOI with ZERO interior vertices; vertex PIP alone drops them,
+# the reference's contains-OR-intersects keeps them (osmhighways.py:243-253)
+# ---------------------------------------------------------------------------
+def test_aoi_clip_ways_planted_classes(spark):
+    from osm_merge_spark.queries import base as qbase
+    from osm_merge_spark.queries.geo2 import q_aoi_clip_ways
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    all_ways = qbase.ways_df(spark, sf_dir).select("way_id", "wcls").toPandas()
+    kept = q_aoi_clip_ways(spark, sf_dir).toPandas()
+    kept_ids = set(kept["way_id"])
+    for _, row in all_ways.iterrows():
+        if row["wcls"] in (0, 2):
+            assert row["way_id"] in kept_ids, f"dropped class-{row['wcls']} way"
+        else:
+            assert row["way_id"] not in kept_ids, f"kept class-{row['wcls']} way"
+    # the fixture really exercises the crossing-only path
+    assert (all_ways["wcls"] == 2).sum() >= 1
+
+
+def test_vertex_pip_alone_would_drop_crossing_ways(spark):
+    """Documents WHY the segment test exists: the class-2 ways have no
+    inside vertex, so any_vertex_in_fixed_ring alone misses them."""
+    from osm_merge_spark.functions import geo as fgeo
+    from osm_merge_spark.queries import base as qbase
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    ways = qbase.ways_df(spark, sf_dir).filter(F.col("wcls") == 2)
+    n_cross = ways.count()
+    n_vertex_in = ways.filter(
+        fgeo.any_vertex_in_fixed_ring(F.col("xs"), F.col("ys"), qbase.AOI_RING)
+    ).count()
+    assert n_cross >= 1 and n_vertex_in == 0
