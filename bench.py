@@ -41,24 +41,35 @@ def _sf_label(sf_dir: str) -> float:
 
 
 def run_once(sf_dir: str, cpus: str) -> dict:
+    """Pinned protocol (round-3 fix for the r2 16.5→18.3 s phantom
+    regression): per query, one UNTIMED warmup pass (JIT, codegen cache,
+    parquet footer/page cache), then min of SPARK_GRAFT_BENCH_REPS
+    fresh-plan repetitions — the same warm/min-of-N discipline as
+    scripts/scaling_bench.py. Single-shot timings at sf0.1 are dominated
+    by per-query job overhead and swing ±30% run-to-run; min-of-N of
+    fresh plans measures the engine, not the scheduler's mood."""
     from osm_merge_spark.session import get_spark
 
     import __spark_entry__ as contract
 
     spark = get_spark("osm-merge-spark-bench", master=f"local[{cpus}]")
     qs = contract.queries()
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    total_rows = 0
     for name in HEADLINE:
         if name not in qs:
             continue
-        df = qs[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        qs[name](spark, sf_dir).count()  # warmup, untimed
+        best = float("inf")
+        n = 0
+        for _ in range(reps):
+            df = qs[name](spark, sf_dir)  # fresh plan per rep
+            t0 = time.perf_counter()
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         rows[name] = n
-        total_rows += n
     return {
         "metric": "headline suite wall time (conflation join + tiling + dedup/ann)",
         "value": round(sum(timings.values()), 3),
@@ -67,6 +78,7 @@ def run_once(sf_dir: str, cpus: str) -> dict:
         "sf": _sf_label(sf_dir),
         "rows": rows,
         "cpus": cpus,
+        "protocol": f"per-query warmup + min of {reps} fresh-plan reps",
     }
 
 

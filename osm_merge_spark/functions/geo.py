@@ -135,6 +135,19 @@ def point_in_fixed_ring(lon: Column, lat: Column,
     return crossings % 2 == 1
 
 
+def point_in_fixed_polygon(lon: Column, lat: Column,
+                           rings: list[list[tuple[float, float]]]) -> Column:
+    """Even-odd PIP against ONE fixed polygon WITH interior rings (holes):
+    XOR of per-ring ray casts — a point in a hole crosses the outer ring
+    (odd) and the hole ring (odd) → even → outside, matching shapely
+    contains (geosupport.py:201-224). rings[0] is the outer ring, the rest
+    are holes; a 1-ring list degenerates to point_in_fixed_ring."""
+    inside: Column = F.lit(False)
+    for ring in rings:
+        inside = inside != point_in_fixed_ring(lon, lat, ring)  # boolean XOR
+    return inside
+
+
 def any_vertex_in_fixed_ring(xs: Column, ys: Column,
                              ring: list[tuple[float, float]]) -> Column:
     """True when ANY vertex of a packed line lies inside the fixed ring —

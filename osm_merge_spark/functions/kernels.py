@@ -48,8 +48,44 @@ def _raycast(px: np.ndarray, py: np.ndarray, rx: np.ndarray, ry: np.ndarray) -> 
     return inside
 
 
+def _split_rings(rx: np.ndarray, ry: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Split a NaN-separated packed polygon into its rings (outer first,
+    then holes — sources/geojson._flatten's layout). Hole-free input comes
+    back as a single ring. Per-ring closing duplicates are stripped (the
+    ray cast's wrap edge supplies closure)."""
+    if not np.isnan(rx).any():
+        rings = [(rx, ry)]
+    else:
+        cuts = np.flatnonzero(np.isnan(rx))
+        rings = []
+        start = 0
+        for c in [*cuts.tolist(), len(rx)]:
+            if c > start:
+                rings.append((rx[start:c], ry[start:c]))
+            start = c + 1
+    out = []
+    for qx, qy in rings:
+        if len(qx) >= 2 and qx[0] == qx[-1] and qy[0] == qy[-1]:
+            qx, qy = qx[:-1], qy[:-1]
+        out.append((qx, qy))
+    return out
+
+
+def _raycast_polygon(px: np.ndarray, py: np.ndarray,
+                     rx: np.ndarray, ry: np.ndarray) -> np.ndarray:
+    """Even-odd PIP for a possibly-holed packed polygon: XOR of per-ring
+    ray casts (VERDICT r2 #7 — a point in a courtyard is outside, matching
+    shapely contains on the same rings; geosupport.py:201-224)."""
+    inside = np.zeros(px.shape, dtype=bool)
+    for qx, qy in _split_rings(rx, ry):
+        if len(qx) >= 3:
+            inside ^= _raycast(px, py, qx, qy)
+    return inside
+
+
 def point_in_polygon_udf(ring_x: Sequence[float], ring_y: Sequence[float]):
-    """PIP against ONE fixed polygon (AOI clip, F6/J8).
+    """PIP against ONE fixed polygon (AOI clip, F6/J8) — NaN-separated
+    interior rings supported (even-odd parity).
 
     The ring is closed over in the UDF (broadcast with the serialized
     function — tiny), so the hot loop is pure NumPy over the whole Arrow
@@ -57,19 +93,24 @@ def point_in_polygon_udf(ring_x: Sequence[float], ring_y: Sequence[float]):
     """
     rx = np.asarray(ring_x, dtype=np.float64)
     ry = np.asarray(ring_y, dtype=np.float64)
-    if rx[0] == rx[-1] and ry[0] == ry[-1]:
-        rx, ry = rx[:-1], ry[:-1]
+    rings = _split_rings(rx, ry)
 
     @pandas_udf(BooleanType())
     def _pip(px: pd.Series, py: pd.Series) -> pd.Series:
-        return pd.Series(_raycast(px.to_numpy(np.float64), py.to_numpy(np.float64), rx, ry))
+        pxv, pyv = px.to_numpy(np.float64), py.to_numpy(np.float64)
+        inside = np.zeros(pxv.shape, dtype=bool)
+        for qx, qy in rings:
+            if len(qx) >= 3:
+                inside ^= _raycast(pxv, pyv, qx, qy)
+        return pd.Series(inside)
 
     return _pip
 
 
 @pandas_udf(BooleanType())
 def point_in_ring(px: pd.Series, py: pd.Series, rxs: pd.Series, rys: pd.Series) -> pd.Series:
-    """PIP where the polygon varies per row (post-cell-join PIP refine, J8).
+    """PIP where the polygon varies per row (post-cell-join PIP refine, J8);
+    NaN-separated interior rings supported (even-odd parity).
 
     Row loop in Python, edge math in NumPy — candidate pairs after the cell
     join are already a tiny fraction of the input, so this is off the 100 TB
@@ -81,7 +122,7 @@ def point_in_ring(px: pd.Series, py: pd.Series, rxs: pd.Series, rys: pd.Series) 
         rx = np.asarray(rxs.iat[i], dtype=np.float64)
         ry = np.asarray(rys.iat[i], dtype=np.float64)
         if len(rx) >= 3:
-            out[i] = _raycast(pxv[i : i + 1], pyv[i : i + 1], rx, ry)[0]
+            out[i] = _raycast_polygon(pxv[i : i + 1], pyv[i : i + 1], rx, ry)[0]
     return pd.Series(out)
 
 

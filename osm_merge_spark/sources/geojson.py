@@ -36,9 +36,21 @@ def _flatten(geom: dict) -> tuple[str, list[float], list[float]]:
         return gt, [cs[0]], [cs[1]]
     if gt == "LineString":
         return gt, [c[0] for c in cs], [c[1] for c in cs]
-    if gt == "Polygon":  # outer ring only (reference clips on outer rings)
-        ring = cs[0] if cs else []
-        return gt, [c[0] for c in ring], [c[1] for c in ring]
+    if gt == "Polygon":
+        # outer ring + interior rings (holes), NaN-separated like multipart
+        # parts. Every GeoJSON ring is closed (first == last), so even-odd
+        # parity over the packed array is exact: XOR of per-ring ray casts
+        # (kernels.point_in_ring splits on the NaN sentinels). The
+        # reference's shapely `contains` respects holes (geosupport.py:
+        # 201-224) — a survey point in a courtyard is OUTSIDE.
+        xs, ys = [], []
+        for ring in cs:
+            if xs:
+                xs.append(float("nan"))
+                ys.append(float("nan"))
+            xs.extend([c[0] for c in ring])
+            ys.extend([c[1] for c in ring])
+        return gt, xs, ys
     if gt == "MultiLineString":
         # NaN-SEPARATED parts in one packed array: part boundaries survive
         # the packed row form and operators.multipart.explode_parts
@@ -53,15 +65,19 @@ def _flatten(geom: dict) -> tuple[str, list[float], list[float]]:
             xs.extend([c[0] for c in seg])
             ys.extend([c[1] for c in seg])
         return gt, xs, ys
-    if gt == "MultiPolygon":  # outer ring of each polygon, NaN-separated
+    if gt == "MultiPolygon":
+        # every ring of every polygon (outers AND holes), NaN-separated.
+        # Even-odd parity over all rings is exact for disjoint polygons;
+        # per-ring rows from explode_parts are also what the boundary-
+        # distance refine wants (a hole edge IS part of the boundary).
         xs, ys = [], []
         for poly in cs:
-            ring = poly[0] if poly else []
-            if xs:
-                xs.append(float("nan"))
-                ys.append(float("nan"))
-            xs.extend([c[0] for c in ring])
-            ys.extend([c[1] for c in ring])
+            for ring in poly:
+                if xs:
+                    xs.append(float("nan"))
+                    ys.append(float("nan"))
+                xs.extend([c[0] for c in ring])
+                ys.extend([c[1] for c in ring])
         return gt, xs, ys
     if gt == "GeometryCollection":
         xs, ys = [], []

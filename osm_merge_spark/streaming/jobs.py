@@ -109,12 +109,22 @@ def conflate_stream(images_stream: DataFrame, layer: DataFrame,
 
 
 def dedup_stream(records: DataFrame, key_col: str = "image_id",
-                 keep_cols: list[str] | None = None) -> DataFrame:
+                 keep_cols: list[str] | None = None,
+                 state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming exact dedup: emit only the FIRST occurrence of each key
-    across the whole (unbounded) stream — the streaming twin of
-    `dropDuplicates([key])`, as a CUSTOM STATEFUL operator via
-    applyInPandasWithState (one boolean of state per key; a re-ingested
-    firehose at 10^12 rows can't buffer history, only key state).
+    across the stream — the streaming twin of `dropDuplicates([key])`, as
+    a CUSTOM STATEFUL operator via applyInPandasWithState (one boolean of
+    state per key; a re-ingested firehose at 10^12 rows can't buffer
+    history, only key state).
+
+    state_ttl_ms bounds the state store (the 10^12-row-firehose guard):
+    without it one boolean per DISTINCT key still grows forever. With a
+    TTL the guarantee weakens, explicitly, to *windowed* dedup — a key
+    idle for longer than the TTL is forgotten and its next occurrence is
+    re-emitted (retention clock restarts on every sighting, so a
+    continuously re-arriving duplicate is suppressed indefinitely).
+    Timeout is processing-time: expiry fires at the first trigger after
+    the idle period, matching Spark's state-store GC model.
 
     The reference has no streaming dedup (its duplicate handling is the
     batch poidup scan); this is the training-data-pipeline capability —
@@ -128,10 +138,19 @@ def dedup_stream(records: DataFrame, key_col: str = "image_id",
     out_schema = records.select(key_col, *keep).schema
 
     def first_only(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # idle past the TTL with no new data this trigger: forget the
+            # key — its next occurrence counts as a first again
+            for _ in pdf_iter:
+                pass
+            state.remove()
+            return
         if state.exists:
             # key already emitted in an earlier micro-batch — drain input
             for _ in pdf_iter:
                 pass
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)  # restart idle clock
             return
         first_row = None
         for pdf in pdf_iter:
@@ -139,6 +158,8 @@ def dedup_stream(records: DataFrame, key_col: str = "image_id",
                 first_row = pdf.iloc[[0]][[key_col, *keep]]
         if first_row is not None:
             state.update((True,))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
             yield first_row
 
     return records.groupBy(key_col).applyInPandasWithState(
@@ -146,7 +167,10 @@ def dedup_stream(records: DataFrame, key_col: str = "image_id",
         outputStructType=out_schema,
         stateStructType="seen boolean",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -119,3 +119,84 @@ def test_vertex_pip_alone_would_drop_crossing_ways(spark):
         fgeo.any_vertex_in_fixed_ring(F.col("xs"), F.col("ys"), qbase.AOI_RING)
     ).count()
     assert n_cross >= 1 and n_vertex_in == 0
+
+
+# ---------------------------------------------------------------------------
+# polygon holes (VERDICT #7): NaN-separated interior rings, even-odd parity
+# — a survey point in a courtyard is OUTSIDE, matching shapely contains
+# ---------------------------------------------------------------------------
+def test_pip_respects_polygon_holes(spark):
+    import math
+
+    from osm_merge_spark.functions import geo as fgeo
+    from osm_merge_spark.functions import kernels
+    from osm_merge_spark.sources.geojson import _flatten
+
+    outer = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    hole = [(3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0), (3.0, 3.0)]
+    geom = {"type": "Polygon",
+            "coordinates": [[list(c) for c in outer], [list(c) for c in hole]]}
+    gt, xs, ys = _flatten(geom)
+    assert gt == "Polygon" and any(math.isnan(v) for v in xs)
+
+    # (point, expected): courtyard center, annulus, outside, far corner
+    cases = [(5.0, 5.0, False), (1.5, 5.0, True), (11.0, 5.0, False),
+             (6.9, 6.9, False), (9.5, 9.5, True), (-1.0, -1.0, False)]
+    df = spark.createDataFrame(
+        [(px, py) for px, py, _ in cases], "px double, py double"
+    )
+    want = [e for _, _, e in cases]
+
+    # 1) per-row varying-polygon kernel
+    arr_xs = F.array(*[F.lit(v) for v in xs])
+    arr_ys = F.array(*[F.lit(v) for v in ys])
+    got1 = [r.inp for r in df.withColumn(
+        "inp", kernels.point_in_ring(F.col("px"), F.col("py"), arr_xs, arr_ys)
+    ).collect()]
+    assert got1 == want
+
+    # 2) fixed-polygon Arrow kernel (closure passed packed NaN form)
+    got2 = [r.inp for r in df.withColumn(
+        "inp", kernels.point_in_polygon_udf(xs, ys)(F.col("px"), F.col("py"))
+    ).collect()]
+    assert got2 == want
+
+    # 3) pure-Catalyst fixed polygon (XOR of per-ring ray casts)
+    got3 = [r.inp for r in df.withColumn(
+        "inp", fgeo.point_in_fixed_polygon(
+            F.col("px"), F.col("py"), [outer[:-1], hole[:-1]]
+        )
+    ).collect()]
+    assert got3 == want
+
+    # shapely oracle when available (not shipped in this container)
+    try:
+        from shapely.geometry import Point, Polygon
+    except ImportError:
+        pass
+    else:
+        poly = Polygon(outer, [hole])
+        assert [poly.contains(Point(px, py)) for px, py, _ in cases] == want
+
+
+def test_flatten_multipolygon_carries_holes(spark):
+    import math
+
+    from osm_merge_spark.functions import kernels
+    from osm_merge_spark.sources.geojson import _flatten
+
+    mp = {"type": "MultiPolygon", "coordinates": [
+        [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]],
+         [[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0], [1.0, 1.0]]],
+        [[[10.0, 10.0], [12.0, 10.0], [12.0, 12.0], [10.0, 12.0],
+          [10.0, 10.0]]],
+    ]}
+    _, xs, ys = _flatten(mp)
+    # 3 rings → 2 NaN separators
+    assert sum(1 for v in xs if math.isnan(v)) == 2
+    px = np.array([2.0, 0.5, 11.0, 5.0])
+    py = np.array([2.0, 0.5, 11.0, 5.0])
+    got = kernels._raycast_polygon(
+        px, py, np.asarray(xs, float), np.asarray(ys, float)
+    )
+    assert got.tolist() == [False, True, True, False]

@@ -124,3 +124,64 @@ def test_dedup_stream_equals_batch_dropduplicates(spark, tmp_path):
     assert len(ids) == n                      # one survivor per key
     assert len(set(ids)) == n
     assert set(ids) == {r.image_id for r in images.collect()}
+
+
+def test_dedup_stream_state_ttl_reemits_expired_keys(spark, tmp_path):
+    """VERDICT r2 #6: with state_ttl_ms, a key idle past the TTL is
+    forgotten (its state is REMOVED by the processing-time timeout, so the
+    store stays bounded) and re-emitted on its next occurrence; a key
+    whose duplicates keep arriving has its idle clock restarted and stays
+    suppressed. TTL needs a periodic trigger (timeouts fire on dataless
+    triggers): availableNow backfills never idle, so they take the
+    NoTimeout path — this test drives a real processingTime trigger."""
+    import time
+
+    src = str(tmp_path / "ttl_src")
+    os.makedirs(src)
+    schema = "image_id string, v int"
+
+    def add_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def emitted():
+        return sorted(r.image_id for r in spark.sql(
+            "SELECT * FROM ttlq").collect())
+
+    def wait_for(pred, timeout_s=60):
+        t0 = time.time()
+        while time.time() - t0 < timeout_s:
+            try:
+                if pred():
+                    return True
+            except Exception:
+                pass
+            time.sleep(0.3)
+        return False
+
+    add_file([("A", 1), ("B", 1)])
+    stream = jobs.chunked_ingest(
+        spark, src, spark.createDataFrame([], schema).schema
+    )
+    dd = jobs.dedup_stream(stream, "image_id", state_ttl_ms=5000)
+    q = (
+        dd.writeStream.format("memory").queryName("ttlq")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ttl_ck"))
+        .trigger(processingTime="250 milliseconds").start()
+    )
+    try:
+        assert wait_for(lambda: emitted() == ["A", "B"])  # both firsts
+        time.sleep(7.0)  # idle > TTL: dataless triggers expire A and B
+        add_file([("B", 2), ("C", 1)])
+        # B was forgotten while idle → re-emitted; C is a first
+        assert wait_for(lambda: emitted() == ["A", "B", "B", "C"])
+        # immediately (well inside the refreshed TTL): A re-emitted (it
+        # stayed expired — no f2 sighting), B suppressed (f2 restarted
+        # its clock)
+        add_file([("A", 3), ("B", 3)])
+        assert wait_for(lambda: emitted().count("A") == 2)
+        assert emitted() == ["A", "A", "B", "B", "C"]
+    finally:
+        q.stop()
