@@ -184,6 +184,108 @@ def candidate_pairs_points(
     return joined.drop("__jcell", "__salt")
 
 
+def candidate_pairs_fused(
+    primary: DataFrame,
+    secondary: DataFrame,
+    grid: CellGrid,
+    *,
+    p_lon: str = "lon",
+    p_lat: str = "lat",
+    s_key: str = "feature_id",
+    s_xs: str = "xs",
+    s_ys: str = "ys",
+    project_mercator: bool = False,
+) -> DataFrame:
+    """Shuffle-first candidate generation with ring-1 on the SECONDARY and
+    BOTH geometry kinds in ONE join — the 100 TB formulation (no broadcast,
+    no serial driver-side hash build; round-3 scaling fix).
+
+    project_mercator=True switches the build-row layout to the refine-
+    ready form: raw geometry arrays are REPLACED by (a) four bbox scalars
+    (bxmin/bxmax/bymin/bymax in degrees — for a point all four collapse to
+    its coordinate, so the caller's planar prefilter is one branch-free
+    range test for both kinds) and (b) __mxs/__mys, EPSG:3857-projected
+    line arrays (NULL for points), computed ONCE per feature BEFORE the
+    explode+shuffle — the exchange is a barrier CollapseProject cannot
+    cross, so the per-pair refine reads materialized arrays instead of
+    re-projecting per segment (the n=8M r2 incident) and line candidate
+    rows carry ONE array pair instead of two (measured: raw+merc arrays
+    riding the join stream was the fused path's dominant cost).
+
+    Layout inversion vs candidate_pairs: the probe keeps its single raw
+    cell (the big image stream is never exploded 9×), while the layer side
+    — typically 10-100× smaller — explodes ring-1 (points) or ring-1-
+    dilated covering cells (polylines). Point build rows carry scalar
+    s_lon/s_lat with NULL arrays; line rows carry the packed arrays with
+    NULL scalars; one unionByName feeds ONE shuffle-hash equi-join on the
+    cell key, so the probe is scanned/shuffled once for both kinds.
+
+    Pair-dedup is eliminated STRUCTURALLY: each (probe, feature) pair can
+    meet only in the probe's single cell (the exploded cell lists are
+    distinct per feature), so no dropDuplicates aggregation — the r2
+    line-branch dedup shuffle + SortAggregate vanish from the plan.
+
+    Every shuffle here scales with executors; skewed probe cells are
+    handled by AQE's runtime skew-join split (enabled engine-wide), which
+    on a shuffle join CAN act — unlike the broadcast path, where the skew
+    is hidden inside one map task.
+    """
+    p = primary.withColumn("__jcell", grid.encode(F.col(p_lon), F.col(p_lat)))
+    null_arr = F.lit(None).cast("array<double>")
+    pts_cell = F.explode(
+        grid.ring1(grid.encode(F.element_at(s_xs, 1), F.element_at(s_ys, 1)))
+    ).alias("__jcell")
+    lines_cell = F.explode(
+        F.array_distinct(F.flatten(F.transform(
+            covering_cells(F.col(s_xs), F.col(s_ys), grid),
+            lambda c: grid.ring1(c),
+        )))
+    ).alias("__jcell")
+    if project_mercator:
+        from ..functions import geo
+
+        sec_pts = secondary.filter(F.size(s_xs) == 1).select(
+            F.col(s_key),
+            F.element_at(s_xs, 1).alias("bxmin"),
+            F.element_at(s_xs, 1).alias("bxmax"),
+            F.element_at(s_ys, 1).alias("bymin"),
+            F.element_at(s_ys, 1).alias("bymax"),
+            null_arr.alias("__mxs"),
+            null_arr.alias("__mys"),
+            pts_cell,
+        )
+        sec_lines = secondary.filter(F.size(s_xs) > 1).select(
+            F.col(s_key),
+            F.array_min(s_xs).alias("bxmin"),
+            F.array_max(s_xs).alias("bxmax"),
+            F.array_min(s_ys).alias("bymin"),
+            F.array_max(s_ys).alias("bymax"),
+            F.transform(F.col(s_xs), lambda x: geo.mercator_x(x)).alias("__mxs"),
+            F.transform(F.col(s_ys), lambda y: geo.mercator_y(y)).alias("__mys"),
+            lines_cell,
+        )
+    else:
+        sec_pts = secondary.filter(F.size(s_xs) == 1).select(
+            F.col(s_key),
+            F.element_at(s_xs, 1).alias("s_lon"),
+            F.element_at(s_ys, 1).alias("s_lat"),
+            null_arr.alias(s_xs),
+            null_arr.alias(s_ys),
+            pts_cell,
+        )
+        sec_lines = secondary.filter(F.size(s_xs) > 1).select(
+            F.col(s_key),
+            F.lit(None).cast("double").alias("s_lon"),
+            F.lit(None).cast("double").alias("s_lat"),
+            F.col(s_xs), F.col(s_ys),
+            lines_cell,
+        )
+    s = sec_pts.unionByName(sec_lines)
+    # hint on the probe: it is the smaller, fixed-width side — its per-
+    # partition hash map stays small while the exploded layer streams
+    return p.hint("SHUFFLE_HASH").join(s, "__jcell").drop("__jcell")
+
+
 def _salted_join(p: DataFrame, s: DataFrame, p_key: str, n_salt: int,
                  hot_threshold: int) -> DataFrame:
     """Shuffle hash join on cell keys with explicit hot-cell salting.

@@ -309,7 +309,43 @@ def conflate(images: DataFrame, layer: DataFrame,
             .select(*slim_cols)
         )
 
-    if layer_is_points:
+    def fused_refined(s_part: DataFrame) -> DataFrame:
+        # shuffle-first (broadcast_layer=False): ring-1 on the LAYER side,
+        # both geometry kinds through ONE shuffle-hash join — no broadcast
+        # build (the serial driver floor both simulated cluster sizes paid
+        # identically, BASELINE.md §4.4), no pair-dedup aggregation (each
+        # pair meets in exactly one cell), probe scanned once.
+        pairs = cell_join.candidate_pairs_fused(
+            p_slim, s_part, grid, project_mercator=True
+        )
+        # branch-free bbox prefilter: for a point feature all four bbox
+        # scalars collapse to its coordinate, so one range test covers
+        # both geometry kinds (no when(), no array_min per pair)
+        pairs = pairs.filter(
+            (F.col("lat") >= F.col("bymin") - F.lit(deg))
+            & (F.col("lat") <= F.col("bymax") + F.lit(deg))
+            & (F.col("lon") >= F.col("bxmin") - deg_lon)
+            & (F.col("lon") <= F.col("bxmax") + deg_lon)
+        )
+        is_pt = F.col("__mxs").isNull()
+        point_d = geo.haversine_m(
+            F.col("lon"), F.col("lat"), F.col("bxmin"), F.col("bymin")
+        )
+        # __mxs/__mys were projected per FEATURE before the shuffle (the
+        # exchange is the CSE barrier), so the per-pair refine only reads
+        line_d = point_polyline_dist_native(
+            geo.mercator_x(F.col("lon")), geo.mercator_y(F.col("lat")),
+            F.col("__mxs"), F.col("__mys"),
+        ) * F.cos(F.radians(F.col("lat")))
+        return (
+            pairs.withColumn("dist_m", F.when(is_pt, point_d).otherwise(line_d))
+            .filter(F.col("dist_m") <= F.lit(params.threshold_m))
+            .select(*slim_cols)
+        )
+
+    if broadcast_layer is False:
+        refined = fused_refined(s_slim)
+    elif layer_is_points:
         refined = points_refined(s_slim)
     else:
         # mixed layers split by geometry: point features (the vast
@@ -327,13 +363,27 @@ def conflate(images: DataFrame, layer: DataFrame,
             *[F.first(c).alias(c) for c in slim_cols
               if c not in ("image_id", "feature_id", "dist_m")],
         )
-    # agg-based top-k (no global sort — the row_number window was the
-    # worst-scaling stage, BASELINE.md §4.3); probe-side constants ride via
-    # first(), geometry arrays are dropped here (not needed post-cap)
-    capped = knn.top_k_agg(
-        refined, "image_id", "dist_m", "feature_id", params.candidate_cap,
-        const_cols=["lon", "lat"] if p_has_tags else ["lon", "lat", "caption"],
-    )
+    # top-5 cap: two formulations, both exact, relative cost re-measured
+    # each round (SPARK_GRAFT_CAP toggles; see BASELINE.md §4.5):
+    #   agg    — collect_list/array_sort/slice hash aggregation (r2 winner)
+    #   window — row_number over one exchange + per-partition sort.
+    #            An ISOLATED r3 micro-bench had window ahead, but in the
+    #            full ladder agg wins again at both 8 and 32 cores
+    #            (n=2M: 6.03 vs 6.66 s) — measure in context, not in
+    #            isolation (BASELINE.md §4.5)
+    import os as _os
+
+    cap_strategy = _os.environ.get("SPARK_GRAFT_CAP", "agg")
+    if cap_strategy == "window":
+        capped = knn.top_k(
+            refined, "image_id",
+            [F.asc("dist_m"), F.asc("feature_id")], params.candidate_cap,
+        )
+    else:
+        capped = knn.top_k_agg(
+            refined, "image_id", "dist_m", "feature_id", params.candidate_cap,
+            const_cols=["lon", "lat"] if p_has_tags else ["lon", "lat", "caption"],
+        )
     enriched = capped
     if p_has_tags:
         enriched = enriched.join(
@@ -344,10 +394,12 @@ def conflate(images: DataFrame, layer: DataFrame,
             "p_tags",
             F.map_from_arrays(F.array(F.lit("name")), F.array(F.col("caption"))),
         ).withColumn("p_ref", F.lit(None).cast("string"))
-    enriched = enriched.join(
-        s.select("feature_id", "s_caption", "s_tags", "s_ref", "version"),
-        "feature_id",
-    )
+    enrich_src = s.select("feature_id", "s_caption", "s_tags", "s_ref", "version")
+    if broadcast_layer is False:
+        # shuffle-first mode: the payload side shuffles in parallel instead
+        # of a driver-side broadcast hash build of every tag map
+        enrich_src = enrich_src.hint("SHUFFLE_HASH")
+    enriched = enriched.join(enrich_src, "feature_id")
     scored = score_hits(enriched, params)
     best = knn.best_candidate(scored, "image_id")
 
