@@ -62,6 +62,103 @@ def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.phash_near_dup(docs)
 
 
+# -- near-dup cluster assignment (connected components) ----------------------
+# Pairs alone can't drive a dedup pass (A~B, B~C keeps two of three); label
+# every document with its component's min id and keep one representative.
+# Runs over the phash pair graph — the image-pipeline first pass.
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.phash_near_dup(docs.withColumn("phash", _derived_phash_col()))
+    cc = connected_components(pairs)
+    return docs.join(cc, docs["doc_id"] == cc["doc"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        F.when(
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")) == F.col("doc_id"),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("int").alias("keep"),
+    )
+
+
+def _sql_dedup_cluster() -> str:
+    from ..operators.components import cluster_assign_sql
+
+    return cluster_assign_sql(
+        dedup.phash_near_dup_sql("documents", _derived_phash_sql())
+    )
+
+
+# -- benchmark decontamination -----------------------------------------------
+# The standard train/eval overlap check (GPT-3 appendix C / The Pile): flag
+# every training document sharing at least one word 4-gram with any document
+# of the (small) eval set. Eval shingles broadcast — the train shingle stream
+# never shuffles for the membership probe; at 100 TB the broadcast set can be
+# swapped for a Bloom filter with identical plan shape. Eval set here =
+# doc_id % 37 == 0 (deterministic stand-in for a held-out benchmark).
+DECON_K = 4
+DECON_MOD = 37
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % DECON_MOD == 0
+    ev_sh = (
+        dedup._doc_shingles(docs.filter(is_eval), "text", "doc_id", DECON_K)
+        .select("sh").distinct()
+    )
+    tr_sh = dedup._doc_shingles(docs.filter(~is_eval), "text", "doc_id", DECON_K)
+    return (
+        tr_sh.join(F.broadcast(ev_sh), "sh")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_hits"))  # tr_sh is distinct per (doc, sh)
+        .select(F.col("doc").alias("doc_id"), "n_hits")
+    )
+
+
+def _sql_decontaminate() -> str:
+    ws = text.words_sql("text")
+    grams = text.shingles_sql("w", DECON_K)
+    return (
+        f"WITH ws AS (SELECT doc_id, {ws} AS w FROM documents), "
+        f"sh AS (SELECT DISTINCT doc_id, unnest({grams}) AS sh FROM ws), "
+        f"ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {DECON_MOD} = 0) "
+        "SELECT s.doc_id, count(*) AS n_hits FROM sh s JOIN ev USING (sh) "
+        f"WHERE s.doc_id % {DECON_MOD} != 0 GROUP BY s.doc_id"
+    )
+
+
+# -- deterministic stratified sampling ---------------------------------------
+# Per-language downsampling at fixed rates (the data-mixing step of corpus
+# assembly). Hash-threshold on md5 of the id: deterministic, reproducible,
+# no RNG state, embarrassingly parallel (pure filter — no shuffle, no
+# sort-based sampling), and exactly mirrorable in SQL. Rates in permille.
+SAMPLE_RATES = {"en": 400, "de": 800, "fr": 800, "es": 800, "zh": 800}
+SAMPLE_DEFAULT = 1000
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    rate = F.lit(SAMPLE_DEFAULT)
+    for lang, permille in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(permille)).otherwise(rate)
+    bucket = hashes.md5i(F.col("doc_id"), 8) % 1000
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+def _sql_sample_stratified() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {permille}"
+        for lang, permille in sorted(SAMPLE_RATES.items())
+    )
+    bucket = f"({hashes.md5i_sql('doc_id', 8)} % 1000)"
+    return (
+        "SELECT doc_id, lang, source FROM documents "
+        f"WHERE {bucket} < (CASE {cases} ELSE {SAMPLE_DEFAULT} END)"
+    )
+
+
 # -- MinHash + LSH -----------------------------------------------------------
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
@@ -181,6 +278,9 @@ QUERIES = {
         dedup.phash_near_dup_sql("documents", _derived_phash_sql()),
     ),
     "dedup_simhash": (q_dedup_simhash, dedup.simhash_sql()),
+    "dedup_cluster": (q_dedup_cluster, _sql_dedup_cluster()),
+    "decontaminate": (q_decontaminate, _sql_decontaminate()),
+    "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
     "text_quality": (q_text_quality, _sql_text_quality()),
     "lang_id": (q_lang_id, _sql_lang_id()),
     "token_count": (q_token_count, _sql_token_count()),

@@ -1,0 +1,115 @@
+"""Connected-components cluster assignment (operators/components.py) +
+the round-3 pipeline queries built on it (dedup_cluster, decontaminate,
+sample_stratified)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from osm_merge_spark.operators.components import connected_components
+
+
+def _cc_bruteforce(edges, verts):
+    """Union-find ground truth: min vertex id per component."""
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in verts}
+
+
+def test_cc_chain_and_islands(spark):
+    # chain 1-2-3-4, pair 10-11, triangle 20-21-22 (+ redundant edge)
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {r["doc"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_cc_matches_union_find_random(spark):
+    rng = random.Random(7)
+    verts = list(range(200))
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _cc_bruteforce(edges, {v for e in edges for v in e})
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {r["doc"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_cc_long_path_converges_fast(spark):
+    # a 64-vertex path has diameter 63; pointer jumping must converge well
+    # under MAX_ROUNDS (plain min-propagation alone would need 63 rounds)
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = connected_components(df, max_rounds=10)
+    assert got.filter(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == 64
+
+
+def test_dedup_cluster_keeps_one_per_component(spark, sf_dir):
+    from osm_merge_spark.queries.text import q_dedup_cluster
+
+    out = q_dedup_cluster(spark, sf_dir).cache()
+    n_docs = out.count()
+    # every cluster has exactly one keeper, and it is the min doc_id
+    per = out.groupBy("cluster_id").agg(
+        F.sum("keep").alias("keepers"), F.min("doc_id").alias("mn")
+    )
+    assert per.filter(F.col("keepers") != 1).count() == 0
+    assert per.filter(F.col("mn") != F.col("cluster_id")).count() == 0
+    assert out.select("doc_id").distinct().count() == n_docs
+    out.unpersist()
+
+
+def test_decontaminate_planted_overlap(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),        # eval (0 % 37 == 0)
+        (1, "prefix words alpha beta gamma delta tail"),   # shares the 4-gram
+        (2, "completely different content here okay now"),  # clean
+        (37, "another eval document with unique words"),    # eval
+        (3, "another eval document with unique words too"),  # hits doc 37
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from osm_merge_spark.operators import dedup
+    from osm_merge_spark.queries.text import DECON_K, DECON_MOD
+
+    is_eval = F.col("doc_id") % DECON_MOD == 0
+    ev = (dedup._doc_shingles(df.filter(is_eval), "text", "doc_id", DECON_K)
+          .select("sh").distinct())
+    tr = dedup._doc_shingles(df.filter(~is_eval), "text", "doc_id", DECON_K)
+    got = {r["doc"]: r["n_hits"] for r in
+           tr.join(F.broadcast(ev), "sh").groupBy("doc")
+           .agg(F.count("*").alias("n_hits")).collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == 1   # shares exactly "alpha beta gamma delta"
+    assert got[3] == 3   # three 4-grams of doc 37's text
+
+
+def test_sample_stratified_deterministic_and_thresholded(spark, sf_dir):
+    import hashlib
+
+    from osm_merge_spark.queries.text import (
+        SAMPLE_RATES, q_sample_stratified,
+    )
+
+    out1 = q_sample_stratified(spark, sf_dir).collect()
+    out2 = q_sample_stratified(spark, sf_dir).collect()
+    assert sorted(r["doc_id"] for r in out1) == sorted(
+        r["doc_id"] for r in out2)  # pure function of the input
+    # verify the hash threshold row-by-row against an independent md5
+    for r in out1:
+        bucket = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8],
+                     16) % 1000
+        assert bucket < SAMPLE_RATES.get(r["lang"], 1000)
