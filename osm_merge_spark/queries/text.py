@@ -254,6 +254,67 @@ def _sql_token_count() -> str:
     )
 
 
+# -- repetition stats (Gopher-style quality filters) -------------------------
+# Two of the Gopher/MassiveText repetition signals per document: the
+# duplicate-word fraction (1 - distinct/total) and the fraction of all word
+# bigrams taken by the single most frequent bigram. Plan: one shuffle-free
+# projection for the word stats + explode→two-level groupBy for the top
+# bigram (partial aggregation map-side; the (doc, gram) key is high-entropy
+# so no salting needed at 100 TB). Fractions floor-scaled to e6 ints — the
+# same determinism trick as text_quality (Spark/DuckDB round-half ties).
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.barrier import eval_once
+
+    df = eval_once(
+        _docs(spark, sf_dir).withColumn("ws", text.words(F.col("text"))), ["ws"]
+    )
+    ws = F.col("ws")
+    nw = F.size(ws)
+    nd = F.size(F.array_distinct(ws))
+    st = df.filter(nw > 0).select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.floor(
+            (nw - nd).cast("double") / nw.cast("double") * F.lit(1.0e6)
+        ).cast("long").alias("dup_word_frac_e6"),
+    )
+    gt = (
+        df.select("doc_id", F.explode(text.shingles(ws, 2)).alias("g"))
+        .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top"), F.sum("c").alias("tot"))
+    )
+    return st.join(gt, "doc_id", "left").select(
+        "doc_id", "n_words", "dup_word_frac_e6",
+        F.coalesce(
+            F.floor(
+                F.col("top").cast("double") / F.col("tot").cast("double")
+                * F.lit(1.0e6)
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("top_bigram_frac_e6"),
+    )
+
+
+def _sql_repetition_stats() -> str:
+    ws = text.words_sql("text")
+    grams = text.shingles_sql("w", 2)
+    return (
+        f"WITH ws AS (SELECT doc_id, {ws} AS w FROM documents), "
+        "st AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS nd"
+        " FROM ws WHERE len(w) > 0), "
+        f"g AS (SELECT doc_id, unnest({grams}) AS g FROM ws), "
+        "gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2), "
+        "gt AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM gc GROUP BY 1) "
+        "SELECT st.doc_id, CAST(nw AS INT) AS n_words,"
+        " CAST(floor(CAST(nw - nd AS DOUBLE) / CAST(nw AS DOUBLE) * 1.0e6)"
+        " AS BIGINT) AS dup_word_frac_e6,"
+        " coalesce(CAST(floor(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE)"
+        " * 1.0e6) AS BIGINT), 0) AS top_bigram_frac_e6"
+        " FROM st LEFT JOIN gt ON st.doc_id = gt.doc_id"
+    )
+
+
 # -- rolling-hash fingerprint ------------------------------------------------
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir)
@@ -281,6 +342,7 @@ QUERIES = {
     "dedup_cluster": (q_dedup_cluster, _sql_dedup_cluster()),
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
     "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
+    "repetition_stats": (q_repetition_stats, _sql_repetition_stats()),
     "text_quality": (q_text_quality, _sql_text_quality()),
     "lang_id": (q_lang_id, _sql_lang_id()),
     "token_count": (q_token_count, _sql_token_count()),

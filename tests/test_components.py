@@ -113,3 +113,28 @@ def test_sample_stratified_deterministic_and_thresholded(spark, sf_dir):
         bucket = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8],
                      16) % 1000
         assert bucket < SAMPLE_RATES.get(r["lang"], 1000)
+
+
+def test_repetition_stats_planted(spark, tmp_path):
+    import os
+
+    rows = [
+        (1, "a a a a"),                       # dup=3/4, top bigram "a a"=3/3
+        (2, "w x y z"),                       # dup=0, each bigram 1/3
+        (3, "solo"),                          # 1 word, no bigrams → 0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).withColumn("lang", F.lit("en"))
+    p = os.path.join(str(tmp_path), "documents.parquet")
+    df.write.parquet(p)
+    # point the query at a dir shaped like an sf dir
+    from osm_merge_spark.queries.text import q_repetition_stats
+
+    got = {r["doc_id"]: r for r in
+           q_repetition_stats(spark, str(tmp_path)).collect()}
+    assert got[1]["dup_word_frac_e6"] == 750_000
+    assert got[1]["top_bigram_frac_e6"] == 1_000_000
+    assert got[2]["dup_word_frac_e6"] == 0
+    assert got[2]["top_bigram_frac_e6"] == 333_333
+    assert got[3]["top_bigram_frac_e6"] == 0
