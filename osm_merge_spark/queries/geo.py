@@ -44,6 +44,61 @@ def _sql_tile_assign() -> str:
 
 
 # ---------------------------------------------------------------------------
+# tile_pyramid — hierarchical zoom rollup (J10/A6 extension): per-tile image
+# counts at three zoom levels, each coarser level aggregated from the
+# PREVIOUS level's (tiny) aggregate, never from the raw table — the rollup
+# cost is one full groupBy plus two re-aggregations of ~|tiles| rows, so a
+# 10^12-image pyramid costs one shuffle of the data and pocket change after.
+# ---------------------------------------------------------------------------
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir)
+    fine = (
+        img.select(
+            TILES.tile_x(F.col("lon")).alias("tx"),
+            TILES.tile_y(F.col("lat")).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n_images"))
+    )
+
+    def up(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.floor(F.col("tx") / F.lit(2.0)).alias("tx"),
+                F.floor(F.col("ty") / F.lit(2.0)).alias("ty"),
+            )
+            .agg(F.sum("n_images").alias("n_images"))
+        )
+
+    l1 = up(fine)
+    l2 = up(l1)
+    lvl = lambda df, i: df.select(  # noqa: E731
+        F.lit(i).cast("int").alias("level"), "tx", "ty", "n_images"
+    )
+    return lvl(fine, 0).unionByName(lvl(l1, 1)).unionByName(lvl(l2, 2))
+
+
+def _sql_tile_pyramid() -> str:
+    size = geo.dlit(TILES.tile_m)
+    tx = f"CAST(floor(({geo.mercator_x_sql('lon')}) / {size}) AS BIGINT)"
+    ty = f"CAST(floor(({geo.mercator_y_sql('lat')}) / {size}) AS BIGINT)"
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"f AS (SELECT {tx} AS tx, {ty} AS ty, count(*) AS n_images"
+        " FROM img GROUP BY 1, 2), "
+        "l1 AS (SELECT CAST(floor(tx / 2.0) AS BIGINT) AS tx,"
+        " CAST(floor(ty / 2.0) AS BIGINT) AS ty, sum(n_images) AS n_images"
+        " FROM f GROUP BY 1, 2), "
+        "l2 AS (SELECT CAST(floor(tx / 2.0) AS BIGINT) AS tx,"
+        " CAST(floor(ty / 2.0) AS BIGINT) AS ty, sum(n_images) AS n_images"
+        " FROM l1 GROUP BY 1, 2) "
+        "SELECT CAST(0 AS INT) AS level, tx, ty, n_images FROM f"
+        " UNION ALL SELECT 1, tx, ty, n_images FROM l1"
+        " UNION ALL SELECT 2, tx, ty, n_images FROM l2"
+    )
+
+
+# ---------------------------------------------------------------------------
 # cell_stats — cell encoding (the H3/S2-style index) + per-cell density
 # (feeds hot-cell detection for salting; SURVEY §4 skew row)
 # ---------------------------------------------------------------------------
@@ -258,6 +313,7 @@ def _sql_aoi_clip() -> str:
 
 QUERIES = {
     "tile_assign": (q_tile_assign, _sql_tile_assign()),
+    "tile_pyramid": (q_tile_pyramid, _sql_tile_pyramid()),
     "cell_stats": (q_cell_stats, _sql_cell_stats()),
     "dist_join": (q_dist_join, _sql_dist_join()),
     "conflate_best": (q_conflate_best, _sql_conflate_best()),

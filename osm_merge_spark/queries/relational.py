@@ -164,8 +164,67 @@ def _sql_events_rollup() -> str:
     )
 
 
+# -- MERGE INTO (upsert) semantics --------------------------------------------
+# The write-back step of conflation: matched features UPDATE the layer row
+# (version bump + new attributes), new features INSERT. Iceberg's MERGE INTO
+# compiles to exactly this full-outer-join + coalesce plan; expressing it as
+# a plain DataFrame op keeps it runnable on any table format and lets the
+# oracle replay it. Scale: one equi-join on the table key — broadcast when
+# the delta is small (the usual case: daily conflation deltas ≪ the layer),
+# shuffle-hash otherwise; no driver-side row handling.
+# Delta here: customers with c_custkey % 10 == 0 change segment (updates) +
+# shifted-key clones (inserts) — deterministic, planted from the same table.
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    upd = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", F.lit("UPDATED").alias("c_mktsegment"))
+    )
+    ins = (
+        cust.filter(F.col("c_custkey") % 25 == 0)
+        .select(
+            (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+            F.lit("INSERTED").alias("c_mktsegment"),
+        )
+    )
+    delta = upd.unionByName(ins)
+    merged = cust.alias("t").join(
+        F.broadcast(delta.alias("d")),
+        F.col("t.c_custkey") == F.col("d.c_custkey"),
+        "full_outer",
+    )
+    return merged.select(
+        F.coalesce(F.col("d.c_custkey"), F.col("t.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("d.c_mktsegment"), F.col("t.c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("t.c_custkey").isNull(), F.lit("insert"))
+        .when(F.col("d.c_custkey").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update")).alias("merge_action"),
+    )
+
+
+def _sql_merge_upsert() -> str:
+    return (
+        "WITH t AS (SELECT c_custkey, c_mktsegment FROM customer), "
+        "d AS (SELECT c_custkey, 'UPDATED' AS c_mktsegment FROM t"
+        " WHERE c_custkey % 10 = 0"
+        " UNION ALL"
+        " SELECT c_custkey + 1000000, 'INSERTED' FROM t"
+        " WHERE c_custkey % 25 = 0) "
+        "SELECT coalesce(d.c_custkey, t.c_custkey) AS c_custkey,"
+        " coalesce(d.c_mktsegment, t.c_mktsegment) AS c_mktsegment,"
+        " CASE WHEN t.c_custkey IS NULL THEN 'insert'"
+        "      WHEN d.c_custkey IS NULL THEN 'keep'"
+        "      ELSE 'update' END AS merge_action"
+        " FROM t FULL OUTER JOIN d ON t.c_custkey = d.c_custkey"
+    )
+
+
 QUERIES = {
     "events_rollup": (q_events_rollup, _sql_events_rollup()),
+    "merge_upsert": (q_merge_upsert, _sql_merge_upsert()),
     "events_window": (q_events_window, _sql_events_window()),
     "sessionize": (q_sessionize, _sql_sessionize()),
     "top_orders": (q_top_orders, _sql_top_orders()),
