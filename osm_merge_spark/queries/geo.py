@@ -87,10 +87,10 @@ def _sql_tile_pyramid() -> str:
         f"f AS (SELECT {tx} AS tx, {ty} AS ty, count(*) AS n_images"
         " FROM img GROUP BY 1, 2), "
         "l1 AS (SELECT CAST(floor(tx / 2.0) AS BIGINT) AS tx,"
-        " CAST(floor(ty / 2.0) AS BIGINT) AS ty, sum(n_images) AS n_images"
+        " CAST(floor(ty / 2.0) AS BIGINT) AS ty, CAST(sum(n_images) AS BIGINT) AS n_images"
         " FROM f GROUP BY 1, 2), "
         "l2 AS (SELECT CAST(floor(tx / 2.0) AS BIGINT) AS tx,"
-        " CAST(floor(ty / 2.0) AS BIGINT) AS ty, sum(n_images) AS n_images"
+        " CAST(floor(ty / 2.0) AS BIGINT) AS ty, CAST(sum(n_images) AS BIGINT) AS n_images"
         " FROM l1 GROUP BY 1, 2) "
         "SELECT CAST(0 AS INT) AS level, tx, ty, n_images FROM f"
         " UNION ALL SELECT 1, tx, ty, n_images FROM l1"

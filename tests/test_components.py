@@ -138,3 +138,35 @@ def test_repetition_stats_planted(spark, tmp_path):
     assert got[2]["dup_word_frac_e6"] == 0
     assert got[2]["top_bigram_frac_e6"] == 333_333
     assert got[3]["top_bigram_frac_e6"] == 0
+
+
+def test_merge_upsert_actions(spark, sf_dir):
+    from osm_merge_spark.queries.relational import q_merge_upsert
+
+    out = q_merge_upsert(spark, sf_dir).cache()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = cust.count()
+    n_upd = cust.filter(F.col("c_custkey") % 10 == 0).count()
+    n_ins = cust.filter(F.col("c_custkey") % 25 == 0).count()
+    by = {r["merge_action"]: r["n"] for r in
+          out.groupBy("merge_action").agg(F.count("*").alias("n")).collect()}
+    assert by.get("update", 0) == n_upd
+    assert by.get("insert", 0) == n_ins
+    assert by.get("keep", 0) == n - n_upd
+    assert out.count() == n + n_ins       # merged table size
+    assert out.select("c_custkey").distinct().count() == n + n_ins
+    out.unpersist()
+
+
+def test_tile_pyramid_levels_conserve_mass(spark, sf_dir):
+    from osm_merge_spark.queries.geo import q_tile_pyramid
+
+    out = q_tile_pyramid(spark, sf_dir).cache()
+    sums = {r["level"]: r["s"] for r in
+            out.groupBy("level").agg(F.sum("n_images").alias("s")).collect()}
+    # every level partitions the same image set
+    assert sums[0] == sums[1] == sums[2]
+    counts = {r["level"]: r["n"] for r in
+              out.groupBy("level").agg(F.count("*").alias("n")).collect()}
+    assert counts[0] >= counts[1] >= counts[2]  # tiles coarsen monotonically
+    out.unpersist()
