@@ -315,6 +315,56 @@ def _sql_repetition_stats() -> str:
     )
 
 
+# -- composite corpus filter (C4-style keep/drop with reasons) ---------------
+# The assembly step that consumes the individual signals: every document
+# gets a keep verdict plus the list of firing drop-reasons (C4 / RefinedWeb
+# style). One narrow projection, no shuffle, embarrassingly parallel. All
+# predicates are INTEGER arithmetic (dup-fraction > 0.6 tested as
+# (nw-nd)*10 > 6*nw) so no float-boundary divergence between engines.
+FILTER_MIN_WORDS = 20
+FILTER_LANGS = ("de", "en", "es", "fr")  # allowlist; zh dropped in this cfg
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.barrier import eval_once
+
+    df = eval_once(
+        _docs(spark, sf_dir).withColumn("ws", text.words(F.col("text"))), ["ws"]
+    )
+    nw = F.size("ws")
+    nd = F.size(F.array_distinct("ws"))
+    reasons = F.array_compact(
+        F.array(
+            F.when(nw < FILTER_MIN_WORDS, F.lit("too_short")),
+            F.when((nw - nd) * 10 > nw * 6, F.lit("repetitive")),
+            F.when(~F.col("lang").isin(*FILTER_LANGS), F.lit("lang")),
+        )
+    )
+    return df.select(
+        "doc_id",
+        F.concat_ws(",", reasons).alias("drop_reasons"),
+        (F.size(reasons) == 0).cast("int").alias("keep"),
+    )
+
+
+def _sql_corpus_filter() -> str:
+    ws = text.words_sql("text")
+    langs = ", ".join(f"'{x}'" for x in FILTER_LANGS)
+    return (
+        f"WITH t AS (SELECT doc_id, lang, len({ws}) AS nw,"
+        f" len(list_distinct({ws})) AS nd FROM documents) "
+        "SELECT doc_id, coalesce(array_to_string(list_filter(["
+        f" CASE WHEN nw < {FILTER_MIN_WORDS} THEN 'too_short' END,"
+        " CASE WHEN (nw - nd) * 10 > nw * 6 THEN 'repetitive' END,"
+        f" CASE WHEN lang NOT IN ({langs}) THEN 'lang' END],"
+        " x -> x IS NOT NULL), ','), '') AS drop_reasons,"
+        f" CAST(CASE WHEN nw >= {FILTER_MIN_WORDS}"
+        " AND (nw - nd) * 10 <= nw * 6"
+        f" AND lang IN ({langs}) THEN 1 ELSE 0 END AS INT) AS keep"
+        " FROM t"
+    )
+
+
 # -- rolling-hash fingerprint ------------------------------------------------
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir)
@@ -343,6 +393,7 @@ QUERIES = {
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
     "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
     "repetition_stats": (q_repetition_stats, _sql_repetition_stats()),
+    "corpus_filter": (q_corpus_filter, _sql_corpus_filter()),
     "text_quality": (q_text_quality, _sql_text_quality()),
     "lang_id": (q_lang_id, _sql_lang_id()),
     "token_count": (q_token_count, _sql_token_count()),

@@ -170,3 +170,19 @@ def test_tile_pyramid_levels_conserve_mass(spark, sf_dir):
               out.groupBy("level").agg(F.count("*").alias("n")).collect()}
     assert counts[0] >= counts[1] >= counts[2]  # tiles coarsen monotonically
     out.unpersist()
+
+
+def test_corpus_filter_reasons_consistent(spark, sf_dir):
+    from osm_merge_spark.queries.text import q_corpus_filter
+
+    out = q_corpus_filter(spark, sf_dir).cache()
+    # keep <=> no reasons, and both verdicts occur in the corpus
+    assert out.filter((F.col("keep") == 1) & (F.col("drop_reasons") != "")).count() == 0
+    assert out.filter((F.col("keep") == 0) & (F.col("drop_reasons") == "")).count() == 0
+    assert out.filter(F.col("keep") == 1).count() > 0
+    assert out.filter(F.col("keep") == 0).count() > 0
+    # every zh doc is dropped with a lang reason
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    zh = out.join(docs, "doc_id").filter(F.col("lang") == "zh")
+    assert zh.filter(~F.col("drop_reasons").contains("lang")).count() == 0
+    out.unpersist()
