@@ -51,6 +51,28 @@ def write_table(df: DataFrame, target: str, partition_by: list[str] | None = Non
     writer.parquet(target)
 
 
+def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
+                   n_buckets: int = 32, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist a table hash-bucketed on the join key (saveAsTable — Spark
+    bucketing requires a catalog table, works with the built-in in-memory
+    catalog + warehouse dir; Iceberg maps the same layout to a bucket
+    partition transform).
+
+    The 100 TB point: the conflation layer is joined on its cell key by
+    every incoming batch. Stored bucketed on that key, each join reads
+    co-located buckets and the Exchange disappears from BOTH sides of the
+    plan — the layer is shuffled once at write time instead of once per
+    query (verified by tests/test_table_layout.py: no Exchange in the
+    bucketed join plan)."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def read_table(spark: SparkSession, target: str) -> DataFrame:
     if iceberg_available(spark):
         return spark.read.format("iceberg").load(target)
