@@ -380,6 +380,36 @@ def _sql_doc_fingerprint() -> str:
     )
 
 
+# -- corpus assembly capstone ------------------------------------------------
+# The whole pipeline as ONE lazy plan: keep a document iff (a) it passes
+# the composite quality filter, (b) it is its near-dup cluster's
+# representative (phash connected components), and (c) it survives the
+# per-language stratified sample. Spark fuses the three predicates into a
+# single DAG — the filter is a projection, the sample a filter, and only
+# the cluster step shuffles; at 10^12 docs the assembly costs exactly the
+# dedup-cluster job plus free pushdown.
+def q_corpus_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filt = q_corpus_filter(spark, sf_dir).filter(F.col("keep") == 1)
+    keepers = q_dedup_cluster(spark, sf_dir).filter(F.col("keep") == 1)
+    sampled = q_sample_stratified(spark, sf_dir)
+    return (
+        sampled
+        .join(filt.select("doc_id"), "doc_id", "left_semi")
+        .join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _sql_corpus_assemble() -> str:
+    return (
+        f"SELECT doc_id, lang, source FROM ({_sql_sample_stratified()}) s"
+        f" WHERE doc_id IN (SELECT doc_id FROM ({_sql_corpus_filter()}) f"
+        "   WHERE keep = 1)"
+        f" AND doc_id IN (SELECT doc_id FROM ({_sql_dedup_cluster()}) c"
+        "   WHERE keep = 1)"
+    )
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, dedup.exact_groups_sql()),
     "dedup_ngram": (q_dedup_ngram, dedup.ngram_jaccard_sql(stop_df=NGRAM_STOP_DF)),
@@ -394,6 +424,7 @@ QUERIES = {
     "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
     "repetition_stats": (q_repetition_stats, _sql_repetition_stats()),
     "corpus_filter": (q_corpus_filter, _sql_corpus_filter()),
+    "corpus_assemble": (q_corpus_assemble, _sql_corpus_assemble()),
     "text_quality": (q_text_quality, _sql_text_quality()),
     "lang_id": (q_lang_id, _sql_lang_id()),
     "token_count": (q_token_count, _sql_token_count()),
