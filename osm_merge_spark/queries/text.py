@@ -325,11 +325,15 @@ FILTER_MIN_WORDS = 20
 FILTER_LANGS = ("de", "en", "es", "fr")  # allowlist; zh dropped in this cfg
 
 
-def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_filter_df(docs: DataFrame) -> DataFrame:
+    """The filter as a pure projection over (doc_id, text, lang) — shared
+    verbatim by the batch query and the streaming twin
+    (streaming/jobs.corpus_filter_stream): stateless, so the micro-batch
+    result is identical to batch by construction (proven by test)."""
     from ..functions.barrier import eval_once
 
     df = eval_once(
-        _docs(spark, sf_dir).withColumn("ws", text.words(F.col("text"))), ["ws"]
+        docs.withColumn("ws", text.words(F.col("text"))), ["ws"]
     )
     nw = F.size("ws")
     nd = F.size(F.array_distinct("ws"))
@@ -345,6 +349,10 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", reasons).alias("drop_reasons"),
         (F.size(reasons) == 0).cast("int").alias("keep"),
     )
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_filter_df(_docs(spark, sf_dir))
 
 
 def _sql_corpus_filter() -> str:

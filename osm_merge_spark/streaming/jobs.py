@@ -174,6 +174,18 @@ def dedup_stream(records: DataFrame, key_col: str = "image_id",
     )
 
 
+def corpus_filter_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of queries/text.q_corpus_filter: the C4-style
+    keep/drop projection applied per micro-batch. Stateless (pure
+    row-local projection), so append-mode output needs no watermark and
+    the result equals the batch run by construction — the continuous
+    corpus-ingest shape: files land, each micro-batch is filtered and
+    appended, checkpoint makes it resumable."""
+    from ..queries.text import corpus_filter_df
+
+    return corpus_filter_df(docs)
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
                       output_mode: str = "complete",
                       query_name: str = "q") -> DataFrame:

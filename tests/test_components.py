@@ -186,3 +186,22 @@ def test_corpus_filter_reasons_consistent(spark, sf_dir):
     zh = out.join(docs, "doc_id").filter(F.col("lang") == "zh")
     assert zh.filter(~F.col("drop_reasons").contains("lang")).count() == 0
     out.unpersist()
+
+
+def test_corpus_filter_stream_equals_batch(spark, sf_dir, tmp_path):
+    from osm_merge_spark.queries.text import q_corpus_filter
+    from osm_merge_spark.streaming import jobs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    # several files → several micro-batches
+    docs.repartition(4).write.parquet(src)
+    stream = jobs.chunked_ingest(spark, src, docs.schema,
+                                 max_files_per_trigger=1)
+    got = jobs.run_available_now(
+        jobs.corpus_filter_stream(stream), str(tmp_path / "ck"),
+        output_mode="append", query_name="cfs",
+    ).collect()
+    want = q_corpus_filter(spark, sf_dir).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
