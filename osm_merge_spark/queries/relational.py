@@ -190,19 +190,33 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     delta = upd.unionByName(ins)
-    merged = cust.alias("t").join(
-        F.broadcast(delta.alias("d")),
-        F.col("t.c_custkey") == F.col("d.c_custkey"),
-        "full_outer",
+    # A naive FULL OUTER join cannot broadcast (both sides stream) and
+    # forces a SortMergeJoin that SHUFFLES AND SORTS THE WHOLE TARGET —
+    # the one thing a 10^12-row MERGE must never do. Equivalent plan with
+    # the target never leaving its partitions (three broadcast joins, the
+    # target scanned twice, zero target shuffles):
+    #   1. target LEFT JOIN bcast(delta)      → updates + keeps
+    #   2. target SEMI JOIN bcast(delta)      → matched keys (≤ |delta|)
+    #   3. delta ANTI JOIN bcast(matched)     → the inserts
+    upd_keep = (
+        cust.alias("t")
+        .join(F.broadcast(delta.alias("d")),
+              F.col("t.c_custkey") == F.col("d.c_custkey"), "left")
+        .select(
+            F.col("t.c_custkey").alias("c_custkey"),
+            F.coalesce(F.col("d.c_mktsegment"), F.col("t.c_mktsegment"))
+            .alias("c_mktsegment"),
+            F.when(F.col("d.c_custkey").isNull(), F.lit("keep"))
+            .otherwise(F.lit("update")).alias("merge_action"),
+        )
     )
-    return merged.select(
-        F.coalesce(F.col("d.c_custkey"), F.col("t.c_custkey")).alias("c_custkey"),
-        F.coalesce(F.col("d.c_mktsegment"), F.col("t.c_mktsegment"))
-        .alias("c_mktsegment"),
-        F.when(F.col("t.c_custkey").isNull(), F.lit("insert"))
-        .when(F.col("d.c_custkey").isNull(), F.lit("keep"))
-        .otherwise(F.lit("update")).alias("merge_action"),
-    )
+    matched = cust.join(
+        F.broadcast(delta), cust["c_custkey"] == delta["c_custkey"], "left_semi"
+    ).select("c_custkey")
+    inserts = delta.join(
+        F.broadcast(matched), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_mktsegment", F.lit("insert").alias("merge_action"))
+    return upd_keep.unionByName(inserts)
 
 
 def _sql_merge_upsert() -> str:
