@@ -99,6 +99,37 @@ def _sql_tile_pyramid() -> str:
 
 
 # ---------------------------------------------------------------------------
+# zorder_key — Morton spatial sort key (data-layout engineering: sorting
+# the table by this key before write clusters row groups spatially →
+# parquet min/max statistics skip non-AOI files; see functions/zorder.py
+# and tests/test_table_layout.py::test_zorder_clusters_partitions)
+# ---------------------------------------------------------------------------
+_Z_LON = (base.LON_MIN, base.LON_MAX)
+_Z_LAT = (base.LAT_MIN, base.LAT_MAX)
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import zorder
+
+    img = base.images_df(spark, sf_dir)
+    return img.select(
+        "image_id",
+        zorder.zorder_key(F.col("lon"), F.col("lat"), _Z_LON, _Z_LAT)
+        .alias("zkey"),
+    )
+
+
+def _sql_zorder_key() -> str:
+    from ..functions import zorder
+
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}) "
+        f"SELECT image_id, {zorder.zorder_key_sql('lon', 'lat', _Z_LON, _Z_LAT)}"
+        " AS zkey FROM img"
+    )
+
+
+# ---------------------------------------------------------------------------
 # cell_stats — cell encoding (the H3/S2-style index) + per-cell density
 # (feeds hot-cell detection for salting; SURVEY §4 skew row)
 # ---------------------------------------------------------------------------
@@ -314,6 +345,7 @@ def _sql_aoi_clip() -> str:
 QUERIES = {
     "tile_assign": (q_tile_assign, _sql_tile_assign()),
     "tile_pyramid": (q_tile_pyramid, _sql_tile_pyramid()),
+    "zorder_key": (q_zorder_key, _sql_zorder_key()),
     "cell_stats": (q_cell_stats, _sql_cell_stats()),
     "dist_join": (q_dist_join, _sql_dist_join()),
     "conflate_best": (q_conflate_best, _sql_conflate_best()),

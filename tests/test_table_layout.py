@@ -96,3 +96,33 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     assert n == expected
     spark.sql("DROP TABLE IF EXISTS b_cust")
     spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_zorder_clusters_partitions(spark, sf_dir):
+    """Range-partitioning by the Morton key must give per-partition spatial
+    footprints (lon×lat bbox areas) far tighter than the default layout —
+    the property that makes parquet min/max stats skip non-AOI files."""
+    from osm_merge_spark.functions.zorder import zorder_key
+    from osm_merge_spark.queries import base
+
+    img = base.images_df(spark, sf_dir).select("image_id", "lon", "lat")
+    zkey = zorder_key(
+        F.col("lon"), F.col("lat"),
+        (base.LON_MIN, base.LON_MAX), (base.LAT_MIN, base.LAT_MAX),
+    )
+
+    def mean_bbox_area(df) -> float:
+        per = df.groupBy(F.spark_partition_id().alias("p")).agg(
+            ((F.max("lon") - F.min("lon")) * (F.max("lat") - F.min("lat")))
+            .alias("area")
+        )
+        rows = per.collect()
+        return sum(r["area"] for r in rows) / len(rows)
+
+    plain = mean_bbox_area(img.repartition(8))                 # hash layout
+    zordered = mean_bbox_area(
+        img.withColumn("zkey", zkey).repartitionByRange(8, "zkey")
+    )
+    # hash partitions each span ~the whole extent; z-ordered ones must be
+    # at least 4× tighter (measured ~10-30× on this data)
+    assert zordered < plain / 4.0, (zordered, plain)
