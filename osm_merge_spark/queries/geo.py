@@ -342,8 +342,124 @@ def _sql_aoi_clip() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# s2_cell_stats — canonical S2 level-13 cell index (the north rule's named
+# encoding; functions/s2.py) + per-cell density. Same shape as cell_stats
+# but on true S2CellId values, so the output joins against any external
+# S2-indexed dataset. Oracle mirrors the Hilbert automaton as a CTE chain.
+# ---------------------------------------------------------------------------
+def q_s2_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import s2
+
+    img = base.images_df(spark, sf_dir).select("image_id", "lon", "lat")
+    return (
+        s2.with_s2_cell(img, level=13)
+        .groupBy("s2_cell")
+        .agg(F.count("*").alias("n_images"), F.min("image_id").alias("first_image"))
+    )
+
+
+def _sql_s2_cell_stats() -> str:
+    from ..functions import s2
+
+    ctes, last = s2.s2_sql_ctes("img", keep="image_id", level=13)
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), {ctes} "
+        f"SELECT s2_cell, count(*) AS n_images, min(image_id) AS first_image"
+        f" FROM {last} GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# s2_dist_join — the north star verbatim: "encode every record into …
+# S2 … cells … run broadcast-or-shuffle hash joins on cell keys".
+# Same J1 semantics as dist_join but keyed on CANONICAL S2 level-19 ids:
+# layer dilated to its 3×3 ij-neighborhood (functions/s2.py ring1), images
+# keep one cell, equi-join, exact haversine refine. Level 19 (min cell
+# width ≈13 m > the 7 m threshold) makes ring-1 a complete cover inside a
+# face; each dilated feature carries 9 DISTINCT ids, so a pair meets at
+# most once — no pair dedup stage. tests/test_s2.py asserts the result
+# set equals the CellGrid dist_join's.
+# ---------------------------------------------------------------------------
+_S2_JOIN_LEVEL = 19
+
+
+def q_s2_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import s2
+
+    img = s2.with_s2_cell(
+        base.images_df(spark, sf_dir).select("image_id", "lon", "lat"),
+        level=_S2_JOIN_LEVEL,
+    )
+    lyr = s2.with_s2_cells_ring1(
+        base.layer_df(spark, sf_dir).select("feature_id", "s_lon", "s_lat"),
+        lon="s_lon", lat="s_lat", level=_S2_JOIN_LEVEL,
+    )
+    return (
+        img.join(F.broadcast(lyr), "s2_cell")
+        .withColumn(
+            "dist",
+            geo.haversine_m(F.col("lon"), F.col("lat"),
+                            F.col("s_lon"), F.col("s_lat")),
+        )
+        .filter(F.col("dist") <= F.lit(base.THRESHOLD_M))
+        .select("image_id", "feature_id", F.round("dist", 3).alias("dist_m"))
+    )
+
+
+def _sql_s2_dist_join() -> str:
+    from ..functions import s2
+
+    img_ctes, img_out = s2.s2_sql_ctes(
+        "img", keep="image_id, lon, lat", level=_S2_JOIN_LEVEL, prefix="si"
+    )
+    lyr_ctes, lyr_out = s2.s2_sql_ctes_ring1(
+        "lyr", lon="s_lon", lat="s_lat", level=_S2_JOIN_LEVEL,
+        keep="feature_id, s_lon, s_lat", prefix="sl",
+    )
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), lyr AS ({base.LAYER_SQL}), "
+        f"{img_ctes}, {lyr_ctes} "
+        "SELECT image_id, feature_id, "
+        f"round({geo.haversine_m_sql('lon', 'lat', 's_lon', 's_lat')}, 3)"
+        f" AS dist_m FROM {img_out} JOIN {lyr_out} USING (s2_cell)"
+        f" WHERE {geo.haversine_m_sql('lon', 'lat', 's_lon', 's_lat')}"
+        f" <= {geo.dlit(base.THRESHOLD_M)}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# hex_bin — hexagonal density binning at H3-res-9 cell size (the honest
+# substitute for canonical H3; functions/hexgrid.py). One shared SQL
+# formula text evaluated by both engines (F.expr == oracle).
+# ---------------------------------------------------------------------------
+def q_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import hexgrid
+
+    img = base.images_df(spark, sf_dir)
+    return (
+        hexgrid.with_hex_id(img.select("image_id", "lon", "lat"))
+        .groupBy("hex_id")
+        .agg(F.count("*").alias("n_images"), F.min("image_id").alias("first_image"))
+    )
+
+
+def _sql_hex_bin() -> str:
+    from ..functions import hexgrid
+
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}) "
+        f"SELECT CAST({hexgrid.hex_id_sql('lon', 'lat')} AS BIGINT) AS hex_id,"
+        " count(*) AS n_images, min(image_id) AS first_image"
+        " FROM img GROUP BY 1"
+    )
+
+
 QUERIES = {
     "tile_assign": (q_tile_assign, _sql_tile_assign()),
+    "s2_cell_stats": (q_s2_cell_stats, _sql_s2_cell_stats()),
+    "s2_dist_join": (q_s2_dist_join, _sql_s2_dist_join()),
+    "hex_bin": (q_hex_bin, _sql_hex_bin()),
     "tile_pyramid": (q_tile_pyramid, _sql_tile_pyramid()),
     "zorder_key": (q_zorder_key, _sql_zorder_key()),
     "cell_stats": (q_cell_stats, _sql_cell_stats()),
