@@ -54,26 +54,39 @@ def run_once(sf_dir: str, cpus: str) -> dict:
 
     spark = get_spark("osm-merge-spark-bench", master=f"local[{cpus}]")
     qs = contract.queries()
-    # 3 reps: conflate_best's Arrow-kernel worker pool + C2 JIT need ~3
-    # executions to reach steady state (measured: fresh-plan walls 6.5 →
-    # 2.1 → 1.6 s at sf0.1; the r2 repo shows the same convergence) — with
-    # 2 reps the min can land on a half-warm 4-6 s sample.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Adaptive reps: C2 JIT + the Arrow fuzzy worker pool converge over a
+    # variable number of executions depending on co-tenant load (measured
+    # 3 reps on a quiet host, 5+ at load ~6: fresh-plan walls
+    # 14.9 → 12.0 → 6.1 → 3.5 → 2.0 s for conflate_best at sf0.1).
+    # A fixed rep count under-warms on a noisy day, so: one untimed
+    # warmup, then fresh-plan reps until the running min stops improving
+    # by >8% for two consecutive reps (min MIN_REPS, cap MAX_REPS).
+    min_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "8"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    reps_used: dict[str, int] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         qs[name](spark, sf_dir).count()  # warmup, untimed
         best = float("inf")
         n = 0
-        for _ in range(reps):
+        stale = 0
+        r = 0
+        while r < max_reps:
             df = qs[name](spark, sf_dir)  # fresh plan per rep
             t0 = time.perf_counter()
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            stale = stale + 1 if wall > best * 0.92 else 0
+            best = min(best, wall)
+            r += 1
+            if r >= min_reps and stale >= 2:
+                break
         timings[name] = round(best, 3)
         rows[name] = n
+        reps_used[name] = r
     return {
         "metric": "headline suite wall time (conflation join + tiling + dedup/ann)",
         "value": round(sum(timings.values()), 3),
@@ -82,7 +95,9 @@ def run_once(sf_dir: str, cpus: str) -> dict:
         "sf": _sf_label(sf_dir),
         "rows": rows,
         "cpus": cpus,
-        "protocol": f"per-query warmup + min of {reps} fresh-plan reps",
+        "reps": reps_used,
+        "protocol": "per-query warmup + fresh-plan reps to convergence "
+                    f"(min {min_reps}, cap {max_reps}, stop after 2 non-improving)",
     }
 
 
