@@ -11,9 +11,12 @@ from __future__ import annotations
 
 
 def registry():
-    from . import etl, etl2, etl3, etl4, geo, geo2, relational, text, vectors
+    from . import (
+        etl, etl2, etl3, etl4, geo, geo2, relational, text, text2, vectors,
+    )
 
     out = {}
-    for mod in (geo, geo2, etl, etl2, etl3, etl4, relational, text, vectors):
+    for mod in (geo, geo2, etl, etl2, etl3, etl4, relational, text, text2,
+                vectors):
         out.update(mod.QUERIES)
     return out

@@ -1,0 +1,251 @@
+"""Training-data text queries, round 3 batch 2: exact substring-level
+dedup (chunk granularity), PII redaction, and TF-IDF keyword extraction.
+
+Same contract as queries/text.py: every entry ships a Spark plan plus a
+bit-identical DuckDB oracle; doubles only ever reach the output through
+floor(x * 1e6) so value-hashes compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text
+from ..functions.barrier import eval_once
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# -- chunk-level exact dedup ---------------------------------------------------
+# Exact-substring deduplication at fixed chunk granularity (the tractable
+# distributed form of Lee et al. 2021 "Deduplicating Training Data Makes
+# Language Models Better" / CCNet's paragraph dedup): split every document
+# into non-overlapping CHUNK_W-word chunks, keep each distinct chunk's FIRST
+# corpus occurrence (min (doc_id, pos)), and reassemble documents from their
+# surviving chunks. 100 TB plan shape: one explode, one groupBy(chunk) with
+# map-side partial min() (a boilerplate chunk repeated in 10^8 docs costs one
+# combiner row per map task, not a hot reduce key), one equi-join back (AQE
+# skew-split handles residual stragglers), one groupBy(doc) reassembly.
+# Nothing sorts globally; nothing touches the driver.
+CHUNK_W = 10
+# (doc_id, pos) packed into one BIGINT so the winner is a plain min() —
+# cheaper on the shuffle than a struct min and expressible identically in
+# DuckDB. pos < 2^20 words/CHUNK_W is guaranteed by the filter below.
+_POS_PACK = 1 << 20
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = eval_once(
+        _docs(spark, sf_dir).withColumn("ws", text.words(F.col("text"))), ["ws"]
+    )
+    n = F.size("ws")
+    k = F.floor((n + F.lit(CHUNK_W - 1)) / F.lit(CHUNK_W)).cast("int")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice("ws", i * CHUNK_W + 1, CHUNK_W)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select("doc_id", k.alias("n_chunks"), chunks.alias("chunks"))
+    ch = base.select(
+        "doc_id", F.posexplode("chunks").alias("pos", "chunk")
+    ).withColumn(
+        "okey", F.col("doc_id") * F.lit(_POS_PACK) + F.col("pos")
+    )
+    win = ch.groupBy("chunk").agg(F.min("okey").alias("wkey"))
+    kept = ch.join(win, "chunk").filter(F.col("okey") == F.col("wkey"))
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("text_kept"),
+    )
+    return base.select("doc_id", "n_chunks").join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+    )
+
+
+def _sql_chunk_dedup() -> str:
+    ws = text.words_sql("text")
+    w = CHUNK_W
+    return (
+        f"WITH ws AS (SELECT doc_id, {ws} AS w FROM documents), "
+        "base AS (SELECT doc_id, w,"
+        f" CAST(ceil(len(w) / {w}.0) AS INT) AS k FROM ws), "
+        "ch AS (SELECT doc_id, unnest(range(0, k)) AS pos,"
+        " unnest(list_transform(range(0, k),"
+        f" i -> array_to_string(list_slice(w, i*{w}+1, i*{w}+{w}), ' ')))"
+        " AS chunk FROM base), "
+        f"win AS (SELECT chunk, min(doc_id * {_POS_PACK} + pos) AS wkey"
+        " FROM ch GROUP BY chunk), "
+        "kept AS (SELECT ch.doc_id, ch.pos, ch.chunk FROM ch"
+        " JOIN win ON ch.chunk = win.chunk"
+        f" WHERE ch.doc_id * {_POS_PACK} + ch.pos = win.wkey), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,"
+        " string_agg(chunk, ' ' ORDER BY pos) AS text_kept"
+        " FROM kept GROUP BY doc_id) "
+        "SELECT b.doc_id, b.k AS n_chunks, coalesce(a.n_kept, 0) AS n_kept,"
+        " coalesce(a.text_kept, '') AS text_kept"
+        " FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id"
+    )
+
+
+# -- PII redaction -------------------------------------------------------------
+# The C4/RefinedWeb scrub step: replace emails, phone numbers, and IPv4
+# addresses with typed placeholder tokens and count redactions per document.
+# Pure projection — no shuffle, embarrassingly parallel, regexes evaluated
+# JVM-side (no Python). The driver's synthetic documents carry no PII, so the
+# query derives a deterministic PII-bearing suffix from doc_id first (both
+# engines build the identical string); in production the scrub runs on the
+# raw text column directly. Patterns are written to the Java-regex /
+# RE2 common subset (character classes, bounded quantifiers, \b) so Spark
+# and DuckDB match identically; counts are taken SEQUENTIALLY (emails on the
+# raw text, phones after email removal, IPs after phone removal) so no span
+# is double-counted.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    s0 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    df = eval_once(docs.withColumn("s0", s0), ["s0"])
+    df = eval_once(
+        df.withColumn("n_emails", F.regexp_count("s0", F.lit(EMAIL_RE)))
+        .withColumn("s1", F.regexp_replace("s0", EMAIL_RE, "<EMAIL>")),
+        ["s1"],
+    )
+    df = eval_once(
+        df.withColumn("n_phones", F.regexp_count("s1", F.lit(PHONE_RE)))
+        .withColumn("s2", F.regexp_replace("s1", PHONE_RE, "<PHONE>")),
+        ["s2"],
+    )
+    return df.select(
+        "doc_id",
+        F.col("n_emails").cast("int").alias("n_emails"),
+        F.col("n_phones").cast("int").alias("n_phones"),
+        F.regexp_count("s2", F.lit(IP_RE)).cast("int").alias("n_ips"),
+        F.regexp_replace("s2", IP_RE, "<IP>").alias("scrubbed"),
+    )
+
+
+def _sql_pii_scrub() -> str:
+    return (
+        "WITH t AS (SELECT doc_id,"
+        " text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or call +1-555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS s0"
+        " FROM documents), "
+        "a AS (SELECT doc_id,"
+        f" len(regexp_extract_all(s0, '{EMAIL_RE}')) AS n_emails,"
+        f" regexp_replace(s0, '{EMAIL_RE}', '<EMAIL>', 'g') AS s1 FROM t), "
+        "b AS (SELECT doc_id, n_emails,"
+        f" len(regexp_extract_all(s1, '{PHONE_RE}')) AS n_phones,"
+        f" regexp_replace(s1, '{PHONE_RE}', '<PHONE>', 'g') AS s2 FROM a) "
+        "SELECT doc_id, CAST(n_emails AS INT) AS n_emails,"
+        " CAST(n_phones AS INT) AS n_phones,"
+        f" CAST(len(regexp_extract_all(s2, '{IP_RE}')) AS INT) AS n_ips,"
+        f" regexp_replace(s2, '{IP_RE}', '<IP>', 'g') AS scrubbed FROM b"
+    )
+
+
+# -- TF-IDF keyword extraction -------------------------------------------------
+# Top-3 terms per document by tf·idf, idf = ln(N/df). 100 TB plan: explode →
+# (doc, term) count with map-side partial agg, term document-frequency from
+# the already-aggregated tf table (never re-touches raw tokens), corpus size
+# joined in as a broadcast scalar (stays one lazy plan — no driver action),
+# then the engine's hash-agg top-k (operators/knn.top_k_agg: no global sort,
+# no window). Determinism across engines: candidates are ordered by the
+# FLOOR-SCALED integer score (ties broken by term asc), so a sub-ULP ln()
+# divergence between Java's Math.log and DuckDB's libm can only matter if a
+# score lands within 1e-6 of a floor boundary AND crosses it — and the
+# emitted score column is the same integer, so output hashing is exact.
+TFIDF_K = 3
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn import top_k_agg
+
+    df = eval_once(
+        _docs(spark, sf_dir).withColumn("ws", text.words(F.col("text"))), ["ws"]
+    )
+    tok = df.select("doc_id", F.explode("ws").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.floor(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+                * F.lit(1.0e6)
+            ).cast("long").alias("score_e6"),
+        )
+        .withColumn("neg_score", -F.col("score_e6"))
+    )
+    top = top_k_agg(
+        scored, "doc_id", dist_col="neg_score", tie_col="term", k=TFIDF_K,
+        payload_cols=["tf", "df", "score_e6"],
+    )
+    return top.select(
+        "doc_id", "term",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("df").cast("int").alias("df"),
+        "score_e6",
+    )
+
+
+def _sql_tfidf_topterms() -> str:
+    ws = text.words_sql("text")
+    return (
+        f"WITH ws AS (SELECT doc_id, {ws} AS w FROM documents), "
+        "tok AS (SELECT doc_id, unnest(w) AS term FROM ws), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+        "tot AS (SELECT count(*) AS n_docs FROM documents), "
+        "sc AS (SELECT doc_id, term, tf, df,"
+        " CAST(floor(CAST(tf AS DOUBLE)"
+        " * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1.0e6)"
+        " AS BIGINT) AS score_e6 FROM tf JOIN dfq USING (term) CROSS JOIN tot), "
+        "rk AS (SELECT sc.*, row_number() OVER (PARTITION BY doc_id"
+        " ORDER BY score_e6 DESC, term ASC) AS r FROM sc) "
+        "SELECT doc_id, term, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df,"
+        f" score_e6 FROM rk WHERE r <= {TFIDF_K}"
+    )
+
+
+QUERIES = {
+    "chunk_dedup": (q_chunk_dedup, _sql_chunk_dedup()),
+    "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
+    "tfidf_topterms": (q_tfidf_topterms, _sql_tfidf_topterms()),
+}
