@@ -244,8 +244,64 @@ def _sql_tfidf_topterms() -> str:
     )
 
 
+# -- phash similarity search (hamming top-k) -----------------------------------
+# The image-modality twin of ann_cosine_topk: for each probe image, the 5
+# nearest corpus images by perceptual-hash hamming distance. Same broadcast-Q
+# shape as similarity.cosine_topk — the corpus NEVER shuffles: probes (tiny)
+# broadcast to every partition, bit_count(xor) is one codegen'd instruction
+# pair per candidate, and the engine's hash-agg top-k caps per probe with no
+# global sort. For all-pairs near-dup (no probe set) use dedup.phash_near_dup's
+# banded join instead; this operator is the search-API shape (query-by-image).
+# phash derivation: the same deterministic stand-in as dedup_phash
+# (queries/text._derived_phash_col) — in production this is the input_hint's
+# phash:int64 column on the image table.
+PHASH_PROBE_MOD = 53
+PHASH_TOPK = 5
+
+
+def q_phash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn import top_k_agg
+    from .text import _derived_phash_col
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _derived_phash_col().alias("phash")
+    )
+    probes = docs.filter(F.col("doc_id") % PHASH_PROBE_MOD == 0).select(
+        F.col("doc_id").alias("qid"), F.col("phash").alias("qph")
+    )
+    pairs = docs.join(
+        F.broadcast(probes), F.col("doc_id") != F.col("qid")
+    ).select(
+        "qid",
+        F.col("doc_id").alias("cand_id"),
+        F.bit_count(F.col("phash").bitwiseXOR(F.col("qph")))
+        .cast("int").alias("hamming"),
+    )
+    top = top_k_agg(pairs, "qid", dist_col="hamming", tie_col="cand_id",
+                    k=PHASH_TOPK)
+    return top.select("qid", "cand_id", "hamming")
+
+
+def _sql_phash_topk() -> str:
+    from .text import _derived_phash_sql
+
+    return (
+        f"WITH d AS (SELECT doc_id, {_derived_phash_sql()} AS phash"
+        " FROM documents), "
+        "q AS (SELECT doc_id AS qid, phash AS qph FROM d"
+        f" WHERE doc_id % {PHASH_PROBE_MOD} = 0), "
+        "p AS (SELECT qid, d.doc_id AS cand_id,"
+        " CAST(bit_count(xor(d.phash, qph)) AS INT) AS hamming"
+        " FROM d JOIN q ON d.doc_id != q.qid) "
+        "SELECT qid, cand_id, hamming FROM (SELECT p.*, row_number() OVER ("
+        " PARTITION BY qid ORDER BY hamming ASC, cand_id ASC) AS r FROM p) t"
+        f" WHERE r <= {PHASH_TOPK}"
+    )
+
+
 QUERIES = {
     "chunk_dedup": (q_chunk_dedup, _sql_chunk_dedup()),
     "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
     "tfidf_topterms": (q_tfidf_topterms, _sql_tfidf_topterms()),
+    "phash_topk": (q_phash_topk, _sql_phash_topk()),
 }
