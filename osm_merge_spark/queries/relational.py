@@ -236,8 +236,151 @@ def _sql_merge_upsert() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# asof_join — temporal as-of alignment: every purchase gets the most recent
+# view (ts <= purchase ts) by the same user. The log-alignment primitive of
+# training-data pipelines (and of the reference's "most recent survey wins"
+# conflation tie-break, conflator.py). Spark-first form: NO join at all —
+# union both event kinds, one shuffle by user, and carry the latest view
+# through an ordered running window (last ignorenulls). Scale: the window
+# sorts within user partitions only; a hot user is bounded by their own
+# event count, and there is no join-key explosion by construction. Ties at
+# the same microsecond resolve view-before-purchase, then max event_id —
+# fully deterministic (DuckDB's native ASOF JOIN leaves the equal-ts winner
+# unspecified, so the oracle mirrors the window formulation instead).
+# ---------------------------------------------------------------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("us", _epoch_us())
+    both = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "us", "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_us = F.when(F.col("kind") == 0, F.col("us"))
+    view_id = F.when(F.col("kind") == 0, F.col("event_id"))
+    out = both.select(
+        "user_id", "us", "event_id", "kind",
+        F.last(view_us, ignorenulls=True).over(w).alias("view_us"),
+        F.last(view_id, ignorenulls=True).over(w).alias("view_id"),
+    )
+    return out.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "view_id",
+        (F.col("us") - F.col("view_us")).alias("wait_us"),
+    )
+
+
+def _sql_asof_join() -> str:
+    return (
+        "WITH both_ev AS (SELECT user_id,"
+        " epoch_us(ts) AS us, event_id,"
+        " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind"
+        " FROM events WHERE event_type IN ('view', 'purchase')), "
+        "r AS (SELECT user_id, us, event_id, kind,"
+        " last_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS) OVER w"
+        " AS view_us,"
+        " last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)"
+        " OVER w AS view_id"
+        " FROM both_ev WINDOW w AS (PARTITION BY user_id"
+        " ORDER BY us, kind, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+        "SELECT event_id AS purchase_id, user_id, view_id,"
+        " us - view_us AS wait_us FROM r WHERE kind = 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# value_quantiles — EXACT p50/p95/p99 of `value` per event_type, computed the
+# distributed way: groupBy (type, value) histogram (map-side combined — the
+# shuffle carries distinct values, not rows), cumulative counts over the
+# per-type sorted value list, then one conditional agg picks the two
+# bracketing values and interpolates. Spark's builtin percentile() buffers
+# every group value in one aggregation state (driver-of-the-group OOM at
+# 10^12 rows); this plan's state per task is O(distinct values per
+# partition). Both engines run the IDENTICAL interpolation expression
+# (r = q*(n-1); v_lo + (v_hi-v_lo)*(r-floor(r))), so doubles match
+# bit-for-bit — no libm calls anywhere.
+# ---------------------------------------------------------------------------
+QUANTILES = (0.5, 0.95, 0.99)
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", "value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    word = Window.partitionBy("event_type").orderBy("value")
+    wall = Window.partitionBy("event_type")
+    h = (
+        h.withColumn("cum_end", F.sum("cnt").over(
+            word.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
+    )
+    aggs = []
+    for q in QUANTILES:
+        tag = str(int(q * 100))
+        r = F.lit(q) * (F.col("n") - F.lit(1)).cast("double")
+        lo_i, hi_i = F.floor(r), F.ceil(r)
+        v_lo = F.max(F.when(
+            (F.col("cum_start") <= lo_i) & (lo_i < F.col("cum_end")),
+            F.col("value"))).alias(f"vlo{tag}")
+        v_hi = F.max(F.when(
+            (F.col("cum_start") <= hi_i) & (hi_i < F.col("cum_end")),
+            F.col("value"))).alias(f"vhi{tag}")
+        frac = F.first(r - F.floor(r)).alias(f"fr{tag}")
+        aggs += [v_lo, v_hi, frac]
+    g = h.groupBy("event_type").agg(*aggs)
+    cols = [
+        F.round(
+            F.col(f"vlo{t}")
+            + (F.col(f"vhi{t}") - F.col(f"vlo{t}")) * F.col(f"fr{t}"),
+            6,
+        ).alias(f"p{t}")
+        for t in (str(int(q * 100)) for q in QUANTILES)
+    ]
+    return g.select("event_type", *cols)
+
+
+def _sql_value_quantiles() -> str:
+    picks, outs = [], []
+    for q in QUANTILES:
+        tag = str(int(q * 100))
+        r = f"({q} * CAST(n - 1 AS DOUBLE))"
+        picks.append(
+            f"max(CASE WHEN cum_start <= floor({r}) AND floor({r}) < cum_end"
+            f" THEN value END) AS vlo{tag},"
+            f" max(CASE WHEN cum_start <= ceil({r}) AND ceil({r}) < cum_end"
+            f" THEN value END) AS vhi{tag},"
+            f" first({r} - floor({r})) AS fr{tag}"
+        )
+        outs.append(
+            f"round(vlo{tag} + (vhi{tag} - vlo{tag}) * fr{tag}, 6) AS p{tag}"
+        )
+    return (
+        "WITH h AS (SELECT event_type, value, count(*) AS cnt FROM events"
+        " GROUP BY 1, 2), "
+        "c AS (SELECT event_type, value, cnt,"
+        " sum(cnt) OVER (PARTITION BY event_type ORDER BY value"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end,"
+        " sum(cnt) OVER (PARTITION BY event_type) AS n"
+        " FROM h), "
+        "s AS (SELECT *, cum_end - cnt AS cum_start FROM c), "
+        f"g AS (SELECT event_type, {', '.join(picks)} FROM s GROUP BY 1) "
+        f"SELECT event_type, {', '.join(outs)} FROM g"
+    )
+
+
 QUERIES = {
     "events_rollup": (q_events_rollup, _sql_events_rollup()),
+    "asof_join": (q_asof_join, _sql_asof_join()),
+    "value_quantiles": (q_value_quantiles, _sql_value_quantiles()),
     "merge_upsert": (q_merge_upsert, _sql_merge_upsert()),
     "events_window": (q_events_window, _sql_events_window()),
     "sessionize": (q_sessionize, _sql_sessionize()),

@@ -1,0 +1,68 @@
+"""Ground-truth tests for asof_join (vs a brute-force scan) and
+value_quantiles (vs numpy's linear-interpolation percentile)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from osm_merge_spark.queries import relational
+
+
+def _events_rows(sf_dir):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+
+
+def test_asof_join_matches_brute_force(spark, sf_dir):
+    from datetime import datetime, timedelta
+
+    epoch = datetime(1970, 1, 1)
+    rows = _events_rows(sf_dir)
+    views, purchases = [], []
+    for r in rows:
+        # NTZ micros — NOT .timestamp(), which would apply the local tz
+        us = (r["ts"] - epoch) // timedelta(microseconds=1)
+        item = (r["user_id"], us, r["event_id"])
+        if r["event_type"] == "view":
+            views.append(item)
+        elif r["event_type"] == "purchase":
+            purchases.append(item)
+    by_user = {}
+    for u, us, eid in views:
+        by_user.setdefault(u, []).append((us, eid))
+    expect = {}
+    for u, us, eid in purchases:
+        cands = [(vus, vid) for vus, vid in by_user.get(u, []) if vus <= us]
+        if cands:
+            vus, vid = max(cands)  # latest ts, then max event_id — the op's tie rule
+            expect[eid] = (u, vid, us - vus)
+        else:
+            expect[eid] = (u, None, None)
+
+    got = {
+        r["purchase_id"]: (r["user_id"], r["view_id"], r["wait_us"])
+        for r in relational.q_asof_join(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[1] is None for v in got.values()) or len(got) > 0
+
+
+def test_value_quantiles_match_numpy(spark, sf_dir):
+    rows = _events_rows(sf_dir)
+    vals = {}
+    for r in rows:
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    out = {r["event_type"]: r for r in
+           relational.q_value_quantiles(spark, sf_dir).collect()}
+    assert set(out) == set(vals)
+    for et, v in vals.items():
+        arr = np.asarray(v, dtype=np.float64)
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            want = float(np.percentile(arr, q * 100, method="linear"))
+            assert abs(out[et][col] - want) < 1e-5, (et, col, out[et][col], want)
