@@ -126,11 +126,14 @@ def point_in_fixed_ring(lon: Column, lat: Column,
     for i in range(n):
         xi, yi = ring[i]
         xj, yj = ring[(i - 1) % n]
+        if yj == yi:
+            # A horizontal edge can never satisfy (yi > lat) XOR (yj > lat):
+            # drop it entirely rather than emit the degenerate expression
+            # `lit(y) > lat != lit(y) > lat`, which is dead weight in codegen
+            # and trips Spark's "trivially true equals predicate" warning.
+            continue
         crossing = (F.lit(yi) > lat) != (F.lit(yj) > lat)
-        xint = (
-            F.lit(xj - xi) * (lat - F.lit(yi)) / F.lit(yj - yi) + F.lit(xi)
-            if yj != yi else F.lit(float("inf"))
-        )
+        xint = F.lit(xj - xi) * (lat - F.lit(yi)) / F.lit(yj - yi) + F.lit(xi)
         crossings = crossings + F.when(crossing & (lon < xint), F.lit(1)).otherwise(F.lit(0))
     return crossings % 2 == 1
 
