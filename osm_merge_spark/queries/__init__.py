@@ -12,12 +12,12 @@ from __future__ import annotations
 
 def registry():
     from . import (
-        etl, etl2, etl3, etl4, geo, geo2, geo3, relational, text, text2,
-        vectors,
+        etl, etl2, etl3, etl4, geo, geo2, geo3, geo4, relational, text,
+        text2, vectors,
     )
 
     out = {}
-    for mod in (geo, geo2, geo3, etl, etl2, etl3, etl4, relational, text,
-                text2, vectors):
+    for mod in (geo, geo2, geo3, geo4, etl, etl2, etl3, etl4, relational,
+                text, text2, vectors):
         out.update(mod.QUERIES)
     return out

@@ -1,0 +1,108 @@
+"""geohash / way_length / image_filter — properties independent of the
+DuckDB oracle (which tests/test_oracle_parity.py already covers for all
+three): the geohash encoder against the public bisection algorithm, the
+fold-based way length against a plain-Python haversine sum, and the gate
+invariants of the image filter."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from osm_merge_spark.functions import geohash as gh
+from osm_merge_spark.queries import base, geo4
+
+ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def ref_geohash(lat: float, lon: float, precision: int) -> str:
+    """Public-spec reference: recursive interval bisection (independent of
+    the engine's bit-interleave derivation)."""
+    lat_i, lon_i = [-90.0, 90.0], [-180.0, 180.0]
+    bits, ch, out, even = 0, 0, "", True
+    while len(out) < precision:
+        interval = lon_i if even else lat_i
+        val = lon if even else lat
+        mid = (interval[0] + interval[1]) / 2
+        if val >= mid:
+            ch = ch * 2 + 1
+            interval[0] = mid
+        else:
+            ch = ch * 2
+            interval[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out += ALPHA[ch]
+            bits, ch = 0, 0
+    return out
+
+
+def test_geohash_matches_bisection_spec(spark):
+    import random
+
+    rng = random.Random(7)
+    cases = [(57.64911, 10.40744), (0.0, 0.0), (-33.87, 151.21),
+             (89.99, -179.99), (-89.99, 179.99)]
+    cases += [(rng.uniform(-90, 90), rng.uniform(-180, 180))
+              for _ in range(200)]
+    df = spark.createDataFrame(cases, "lat double, lon double")
+    got = [r[0] for r in
+           df.select(gh.geohash(F.col("lon"), F.col("lat"))).collect()]
+    exp = [ref_geohash(la, lo, gh.PRECISION) for la, lo in cases]
+    assert got == exp
+    assert exp[0] == "u4pruy"  # the textbook example point
+
+
+def test_geohash_prefix_is_parent(spark, sf_dir):
+    out = geo4.q_geohash_stats(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.parent_gh4 == r.gh[:geo4.GH_PARENT]
+        assert all(c in ALPHA for c in r.gh) and len(r.gh) == gh.PRECISION
+
+
+def _py_haversine(lon1, lat1, lon2, lat2):
+    from osm_merge_spark.functions.geo import EARTH_RADIUS_M
+
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    a = (math.sin((rl2 - rl1) / 2) ** 2
+         + math.cos(rl1) * math.cos(rl2)
+         * math.sin((math.radians(lon2) - math.radians(lon1)) / 2) ** 2)
+    return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(a))
+
+
+def test_way_length_matches_python_fold(spark, sf_dir):
+    got = {r.way_id: r.length_m
+           for r in geo4.q_way_length(spark, sf_dir).collect()}
+    ways = base.ways_df(spark, sf_dir).collect()
+    assert len(ways) == len(got) > 0
+    for w in ways:
+        exp = sum(_py_haversine(w.xs[k], w.ys[k], w.xs[k + 1], w.ys[k + 1])
+                  for k in range(len(w.xs) - 1))
+        assert abs(got[w.way_id] - exp) < 1e-3
+        if w.wcls == 2:  # spans the whole AOI east-west: > ~80 km
+            assert got[w.way_id] > 80_000
+
+
+def test_image_filter_gate_invariants(spark, sf_dir):
+    out = geo4.q_image_filter(spark, sf_dir)
+    rows = out.collect()
+    kept = [r for r in rows if r.keep]
+    dropped = [r for r in rows if not r.keep]
+    assert kept and dropped  # the synthetic mix exercises both branches
+    for r in kept:
+        assert r.reasons == ""
+        assert min(r.w, r.h) >= geo4.MIN_DIM
+        assert max(r.w, r.h) / min(r.w, r.h) <= geo4.MAX_ASPECT
+        assert r.fmt in geo4.FORMATS
+    for r in dropped:
+        assert r.reasons != ""
+        if "small;" in r.reasons:
+            assert min(r.w, r.h) < geo4.MIN_DIM
+        if "format;" in r.reasons:
+            assert r.fmt not in geo4.FORMATS
+    # every drop reason observed somewhere in the synthetic corpus
+    seen = {tok for r in dropped for tok in r.reasons.split(";") if tok}
+    assert {"small", "aspect", "format"} <= seen
