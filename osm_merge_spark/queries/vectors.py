@@ -123,8 +123,42 @@ def _sql_dedup_embedding() -> str:
     )
 
 
+# -- SQ8 int8-quantized top-k (the 4×-memory scale path) ---------------------
+def q_ann_q8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k under the int8 scalar-quantized scorer
+    (similarity.q8_topk): 64 B/vector instead of 256 B through the join,
+    integer dot products (exact, hence fully oracle-checkable), per-vector
+    scales cancel out of the normalized cosine. Recall vs the exact float
+    scorer is pinned in tests/test_q8.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.q8_topk(emb, queries, k=5)
+
+
+def _sql_ann_q8_topk() -> str:
+    qv, scale = similarity.quantize8_sql("embedding", DIM)
+    doti = similarity._doti_sql("q.qv", "n.qv", DIM)
+    ni = similarity._doti_sql("qv", "qv", DIM)
+    return (
+        f"WITH sc AS (SELECT vec_id, embedding, {scale} AS scale"
+        " FROM embeddings), "
+        f"q8 AS (SELECT vec_id, {qv} AS qv FROM sc), "
+        f"nrm AS (SELECT vec_id, qv, sqrt(CAST({ni} AS DOUBLE)) AS nn FROM q8), "
+        f"qs AS (SELECT * FROM nrm WHERE vec_id % {QUERY_MOD} = 0), "
+        "scored AS (SELECT q.vec_id AS qid, n.vec_id AS nid,"
+        f" CAST({doti} AS DOUBLE) / (q.nn * n.nn) AS cos"
+        " FROM qs q JOIN nrm n ON q.vec_id != n.vec_id) "
+        "SELECT qid, nid, CAST(rank AS INT) AS rank, round(cos, 6) AS cos"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY qid"
+        " ORDER BY cos DESC, nid ASC) AS rank FROM scored) t WHERE rank <= 5"
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, _sql_ann_cosine_topk()),
+    "ann_q8_topk": (q_ann_q8_topk, _sql_ann_q8_topk()),
     "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh_pairs()),
     "ivf_search": (q_ivf_search, _sql_ivf_search()),
     "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
