@@ -156,9 +156,56 @@ def _sql_ann_q8_topk() -> str:
     )
 
 
+# -- CLIP-style image↔caption alignment gate ---------------------------------
+# LAION's construction filter: keep a pair when cos(image_emb, text_emb)
+# clears a threshold. The synthetic pairing is positional: even vec_ids are
+# the "image tower", odd vec_ids the "text tower", pair_id = vec_id // 2 —
+# an equi-join on pair_id (hash join on a unique key; at 10^12 pairs this
+# co-partitions perfectly and never skews).
+CLIP_THRESH = 0.1  # ~0.8σ for random 64-d (σ = 1/√64): a selective gate
+
+
+def q_clip_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    img = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("ivec"),
+    )
+    txt = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.floor(F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("tvec"),
+    )
+    scored = img.join(txt, "pair_id").select(
+        "pair_id",
+        F.round(similarity.cosine(F.col("ivec"), F.col("tvec")), 6)
+        .alias("clip_score"),
+    )
+    return scored.select(
+        "pair_id", "clip_score",
+        (F.col("clip_score") >= F.lit(CLIP_THRESH)).alias("keep"),
+    )
+
+
+def _sql_clip_align() -> str:
+    from ..functions.geo import dlit
+
+    cos = similarity.cosine_sql("i.embedding", "t.embedding", DIM)
+    return (
+        "WITH i AS (SELECT CAST(vec_id / 2 AS BIGINT) AS pair_id, embedding"
+        " FROM embeddings WHERE vec_id % 2 = 0), "
+        "t AS (SELECT CAST(floor(vec_id / 2) AS BIGINT) AS pair_id, embedding"
+        " FROM embeddings WHERE vec_id % 2 = 1), "
+        f"s AS (SELECT i.pair_id, round({cos}, 6) AS clip_score"
+        " FROM i JOIN t ON i.pair_id = t.pair_id) "
+        f"SELECT pair_id, clip_score, clip_score >= {dlit(CLIP_THRESH)} AS keep"
+        " FROM s"
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, _sql_ann_cosine_topk()),
     "ann_q8_topk": (q_ann_q8_topk, _sql_ann_q8_topk()),
+    "clip_align": (q_clip_align, _sql_clip_align()),
     "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh_pairs()),
     "ivf_search": (q_ivf_search, _sql_ivf_search()),
     "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),

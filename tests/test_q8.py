@@ -55,3 +55,16 @@ def test_q8_topk_recall_vs_exact(spark, sf_dir):
     q1 = {r.qid: r.nid for r in quant if r.rank == 1}
     agree = sum(e1[k] == q1[k] for k in e1) / len(e1)
     assert agree >= 0.9, f"SQ8 rank-1 agreement = {agree:.3f}"
+
+
+def test_clip_align_gate(spark, sf_dir):
+    from osm_merge_spark.queries.vectors import CLIP_THRESH, q_clip_align
+
+    rows = q_clip_align(spark, sf_dir).collect()
+    n_emb = _emb(spark, sf_dir).count()
+    assert len(rows) == n_emb // 2          # one row per (image, text) pair
+    assert len({r.pair_id for r in rows}) == len(rows)  # join key unique
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)             # the gate is selective, not all/none
+    for r in rows:
+        assert r.keep == (r.clip_score >= CLIP_THRESH)
