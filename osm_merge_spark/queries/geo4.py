@@ -154,3 +154,83 @@ QUERIES = {
     "way_length": (q_way_length, _sql_way_length()),
     "image_filter": (q_image_filter, _sql_image_filter()),
 }
+
+
+# ---------------------------------------------------------------------------
+# conflate_delta — incremental conflation (the reference's "re-run batch ETL
+# every ~24 h" framing, README.md:60-62 / docs/highways.md:142, done as a
+# delta job instead of a full recompute)
+# ---------------------------------------------------------------------------
+# Only the increment's images conflate, and — the part that matters at a
+# 10^12-row layer — the LAYER is pruned to cells near the delta BEFORE the
+# join: distinct delta cells, ring-1 dilated (a tiny set for any real daily
+# increment), broadcast semi-join against the layer's cell key. A 1%
+# increment then reads ~1% of a cell-partitioned layer (partition pruning
+# composes with the semi-join) instead of rebuilding the world. The prune is
+# a pure optimization — the oracle computes the same answer from the
+# unpruned join — and the plan shape is pinned by
+# tests/test_geo4.py::test_conflate_delta_prunes_layer.
+DELTA_MOD = 16  # ikey % 16 == 1 → the synthetic "daily increment" (~6%;
+# residue 1 because ikey = orderkey*8 + linenumber with linenumber ≥ 1 —
+# residue 0 is structurally unpopulated)
+
+
+def q_conflate_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import cell_join
+    from .geo import GRID
+
+    img = base.images_df(spark, sf_dir).filter(
+        (F.col("ikey") % DELTA_MOD) == 1
+    )
+    lyr = base.layer_df(spark, sf_dir).withColumns(
+        {"xs": F.array("s_lon"), "ys": F.array("s_lat")}
+    )
+    offs = GRID.ring1_sql_values()
+    d9 = (
+        img.select(GRID.encode(F.col("lon"), F.col("lat")).alias("c0"))
+        .distinct()
+        .select(F.explode(
+            F.array(*[F.col("c0") + F.lit(o) for o in offs])
+        ).alias("cell0"))
+        .distinct()
+    )
+    lyr_pruned = lyr.join(
+        F.broadcast(d9),
+        GRID.encode(F.col("s_lon"), F.col("s_lat")) == F.col("cell0"),
+        "left_semi",
+    )
+    pairs = cell_join.candidate_pairs(
+        img, lyr_pruned, GRID, p_key="image_id", s_key="feature_id",
+        secondary_points=True, ring_secondary=True,
+    )
+    ref = pairs.withColumn(
+        "dist",
+        geo.haversine_m(F.col("lon"), F.col("lat"),
+                        F.col("s_lon"), F.col("s_lat")),
+    ).filter(F.col("dist") <= F.lit(base.THRESHOLD_M))
+    best = ref.groupBy("image_id").agg(
+        F.min(F.struct(F.col("dist"), F.col("feature_id"))).alias("b")
+    )
+    return best.select(
+        "image_id",
+        F.col("b.feature_id").alias("feature_id"),
+        F.round("b.dist", 3).alias("dist_m"),
+    )
+
+
+def _sql_conflate_delta() -> str:
+    from .geo import _sql_pairs
+
+    # the layer prune is plan-side only; the oracle filters the increment at
+    # the end of the unpruned join and must produce identical rows
+    return (
+        f"WITH {_sql_pairs()} "
+        "SELECT image_id, feature_id, round(dist, 3) AS dist_m FROM"
+        " (SELECT *, row_number() OVER (PARTITION BY image_id"
+        " ORDER BY dist, feature_id) AS rn FROM ref"
+        f" WHERE dist <= {geo.dlit(base.THRESHOLD_M)}"
+        f" AND ikey % {DELTA_MOD} = 1) t WHERE rn = 1"
+    )
+
+
+QUERIES["conflate_delta"] = (q_conflate_delta, _sql_conflate_delta())

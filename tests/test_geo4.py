@@ -106,3 +106,46 @@ def test_image_filter_gate_invariants(spark, sf_dir):
     # every drop reason observed somewhere in the synthetic corpus
     seen = {tok for r in dropped for tok in r.reasons.split(";") if tok}
     assert {"small", "aspect", "format"} <= seen
+
+
+def test_conflate_delta_prunes_layer(spark, sf_dir):
+    """The incremental job must (a) match the unpruned computation exactly
+    and (b) actually carry the broadcast LEFT-SEMI layer prune in its plan —
+    the property that turns a 1% increment into a 1% job at a 10^12-row
+    layer."""
+    import pyspark.sql.functions as F
+
+    from osm_merge_spark.functions import geo as geofn
+    from osm_merge_spark.operators import cell_join
+    from osm_merge_spark.queries.geo import GRID
+    from osm_merge_spark.queries.geo4 import DELTA_MOD, q_conflate_delta
+
+    out = q_conflate_delta(spark, sf_dir)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan  # the layer prune survived optimization
+
+    # unpruned recomputation of the same semantics
+    img = base.images_df(spark, sf_dir).filter(
+        (F.col("ikey") % DELTA_MOD) == 1
+    )
+    lyr = base.layer_df(spark, sf_dir).withColumns(
+        {"xs": F.array("s_lon"), "ys": F.array("s_lat")}
+    )
+    pairs = cell_join.candidate_pairs(
+        img, lyr, GRID, p_key="image_id", s_key="feature_id",
+        secondary_points=True, ring_secondary=True,
+    )
+    ref = pairs.withColumn(
+        "dist",
+        geofn.haversine_m(F.col("lon"), F.col("lat"),
+                          F.col("s_lon"), F.col("s_lat")),
+    ).filter(F.col("dist") <= base.THRESHOLD_M)
+    best = ref.groupBy("image_id").agg(
+        F.min(F.struct(F.col("dist"), F.col("feature_id"))).alias("b")
+    ).select(
+        "image_id", F.col("b.feature_id").alias("feature_id"),
+        F.round("b.dist", 3).alias("dist_m"),
+    )
+    got = sorted(map(tuple, out.collect()))
+    exp = sorted(map(tuple, best.collect()))
+    assert got == exp and len(got) > 0
