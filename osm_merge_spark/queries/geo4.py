@@ -16,6 +16,11 @@ image-side corpus quality gate.
   training-data pipeline runs before dedup. Width/height/format derive
   deterministically from the image key (same u01 scheme as every other
   synthetic column) so the DuckDB oracle reproduces them bit-identically.
+- aspect_buckets is the SDXL-style multi-aspect bucketing step of batched
+  image training: the nearest-log-aspect bucket argmin compiled to a CASE
+  ladder (pure projection — no join, no shuffle for the assignment).
+- simplify_ways drives operators/simplify.py (one-pass Visvalingam filter,
+  array intrinsics only) over a planted corner/jitter trace fixture.
 """
 
 from __future__ import annotations
@@ -98,9 +103,21 @@ _FMT_ALL = ("jpeg", "png", "webp", "gif", "bmp")
 
 
 def _dims(key):
+    # u01 is affine in the key, so u01(k, s1) and u01(k, s2) differ by a
+    # CONSTANT (mod 1) — w and h derived from the same salt family would be
+    # ~perfectly correlated (aspect ≈ 1 for every image, leaving the aspect
+    # gate and the bucket ladder untested). Decorrelate h with a nonlinear
+    # (squared, mod-reduced first so it never overflows at any key scale)
+    # transform of the key.
+    k2 = (key % F.lit(base._M)) * (key % F.lit(base._M)) % F.lit(base._M)
     w = F.floor(F.lit(16.0) + base.u01(key, 21) * F.lit(2048.0)).cast("int")
-    h = F.floor(F.lit(16.0) + base.u01(key, 22) * F.lit(2048.0)).cast("int")
+    h = F.floor(F.lit(16.0) + base.u01(k2, 22) * F.lit(2048.0)).cast("int")
     return w, h
+
+
+_W_SQL = f"CAST(floor(16.0e0 + {base.u01_sql('ikey', 21)} * 2048.0e0) AS INT)"
+_K2_SQL = f"(((ikey % {base._M}) * (ikey % {base._M})) % {base._M})"
+_H_SQL = f"CAST(floor(16.0e0 + {base.u01_sql(_K2_SQL, 22)} * 2048.0e0) AS INT)"
 
 
 def q_image_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,8 +147,7 @@ def q_image_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_image_filter() -> str:
-    w = f"CAST(floor(16.0e0 + {base.u01_sql('ikey', 21)} * 2048.0e0) AS INT)"
-    h = f"CAST(floor(16.0e0 + {base.u01_sql('ikey', 22)} * 2048.0e0) AS INT)"
+    w, h = _W_SQL, _H_SQL
     fmts = ", ".join(f"'{f}'" for f in _FMT_ALL)
     keep_fmts = ", ".join(f"'{f}'" for f in FORMATS)
     return (
@@ -149,10 +165,165 @@ def _sql_image_filter() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# aspect_buckets — SDXL-style aspect-ratio bucketing for batched training
+# ---------------------------------------------------------------------------
+# Diffusion/vision training batches images of one resolution together; the
+# standard recipe (SDXL appendix: multi-aspect buckets of ~1024² pixels)
+# assigns each image to the bucket whose aspect ratio is nearest in log
+# space. The argmin over a FIXED sorted 1-D bucket list is an interval
+# lookup: bucket i wins exactly when aspect < geometric-midpoint(i, i+1) —
+# so the whole assignment compiles to one CASE ladder of double compares, a
+# pure codegen'd projection with NO join, NO shuffle, and no per-row loop at
+# 10^12 images (a naive small-dim cross join + argmin would shuffle the
+# world for a 9-row table). The rollup then counts one row per bucket.
+# Upscale flag: bucket fill scale = max(bw/w, bh/h) (cover-fit) > 1 means
+# the source is smaller than its bucket and would be upscaled — a quality
+# signal training pipelines track per bucket.
+BUCKETS = [
+    (512, 2048), (576, 1728), (724, 1448), (896, 1152), (1024, 1024),
+    (1152, 896), (1448, 724), (1728, 576), (2048, 512),
+]
+_ASPECTS = [bw / bh for bw, bh in BUCKETS]
+_THRESH = [
+    (_ASPECTS[i] * _ASPECTS[i + 1]) ** 0.5 for i in range(len(_ASPECTS) - 1)
+]
+
+
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir)
+    key = F.col("ikey")
+    w, h = _dims(key)
+    df = img.select(w.alias("w"), h.alias("h"))
+    aspect = F.col("w").cast("double") / F.col("h").cast("double")
+    bid = F.when(aspect < F.lit(_THRESH[0]), F.lit(0))
+    for i in range(1, len(_THRESH)):
+        bid = bid.when(aspect < F.lit(_THRESH[i]), F.lit(i))
+    bid = bid.otherwise(F.lit(len(_ASPECTS) - 1)).cast("int")
+    assigned = df.select("w", "h", bid.alias("bucket_id"))
+    barr = F.array(*[
+        F.struct(F.lit(bw).alias("bw"), F.lit(bh).alias("bh"))
+        for bw, bh in BUCKETS
+    ])
+    b = F.element_at(barr, F.col("bucket_id") + 1)
+    upscaled = F.greatest(
+        b["bw"].cast("double") / F.col("w").cast("double"),
+        b["bh"].cast("double") / F.col("h").cast("double"),
+    ) > F.lit(1.0)
+    return (
+        assigned
+        .select("bucket_id", b["bw"].alias("bw"), b["bh"].alias("bh"),
+                upscaled.cast("int").alias("up"))
+        .groupBy("bucket_id", "bw", "bh")
+        .agg(F.count("*").alias("n_images"),
+             F.sum("up").alias("n_upscaled"))
+    )
+
+
+def _sql_aspect_buckets() -> str:
+    w, h = _W_SQL, _H_SQL
+    aspect = "(CAST(w AS DOUBLE) / CAST(h AS DOUBLE))"
+    case = "CASE " + " ".join(
+        f"WHEN {aspect} < {geo.dlit(t)} THEN {i}"
+        for i, t in enumerate(_THRESH)
+    ) + f" ELSE {len(_ASPECTS) - 1} END"
+    bws = ", ".join(str(bw) for bw, _ in BUCKETS)
+    bhs = ", ".join(str(bh) for _, bh in BUCKETS)
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"d AS (SELECT {w} AS w, {h} AS h FROM img), "
+        f"a AS (SELECT w, h, CAST({case} AS INT) AS bucket_id FROM d), "
+        f"b AS (SELECT w, h, bucket_id, ([{bws}])[bucket_id + 1] AS bw,"
+        f" ([{bhs}])[bucket_id + 1] AS bh FROM a) "
+        "SELECT bucket_id, bw, bh, count(*) AS n_images,"
+        " CAST(sum(CASE WHEN greatest(CAST(bw AS DOUBLE) / CAST(w AS DOUBLE),"
+        " CAST(bh AS DOUBLE) / CAST(h AS DOUBLE)) > 1.0e0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_upscaled"
+        " FROM b GROUP BY bucket_id, bw, bh"
+    )
+
+
+# ---------------------------------------------------------------------------
+# simplify_ways — one-pass Visvalingam polyline simplification (operators/
+# simplify.py) over a 24-vertex GPS-trace fixture: a straight eastward track
+# with two planted corners (i = 8, 16, +0.01° ≈ 1.1 km excursion — must be
+# KEPT) and sub-meter per-vertex jitter everywhere (area ≪ eps — must be
+# DROPPED). The whole query is one codegen'd projection per way.
+# ---------------------------------------------------------------------------
+N_TRACE = 24
+TRACE_CORNERS = (8, 16)
+SIMPLIFY_EPS_M2 = 5000.0
+
+
+def _trace_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.barrier import eval_once
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("s_suppkey").cast("long")
+    x0 = F.lit(base.LON_MIN) + F.lit(0.1) + base.u01(k, 31) * F.lit(0.6)
+    y0 = F.lit(base.LAT_MIN) + F.lit(0.1) + base.u01(k, 32) * F.lit(0.4)
+    idx = F.sequence(F.lit(1), F.lit(N_TRACE))
+    xs = F.transform(idx, lambda i: x0 + i.cast("double") * F.lit(0.002))
+    ys = F.transform(
+        idx,
+        lambda i: y0
+        + F.when(i.isin(*TRACE_CORNERS), F.lit(0.01)).otherwise(F.lit(0.0))
+        + (base.u01(k * F.lit(97) + i, 33) - F.lit(0.5)) * F.lit(2.0e-5),
+    )
+    return eval_once(
+        sup.select(k.alias("way_id"), xs.alias("xs"), ys.alias("ys")),
+        ["xs", "ys"],
+    )
+
+
+_TRACE_SQL = (
+    "SELECT k AS way_id,"
+    f" list_transform(range(1, {N_TRACE} + 1),"
+    " i -> x0 + CAST(i AS DOUBLE) * 2.0e-3) AS xs,"
+    f" list_transform(range(1, {N_TRACE} + 1),"
+    " i -> y0 + (CASE WHEN i IN (8, 16) THEN 1.0e-2 ELSE 0.0e0 END)"
+    f" + ({base.u01_sql('k * 97 + i', 33)} - 5.0e-1) * 2.0e-5) AS ys"
+    " FROM (SELECT k,"
+    f" {geo.dlit(base.LON_MIN)} + 1.0e-1 + {base.u01_sql('k', 31)} * 6.0e-1 AS x0,"
+    f" {geo.dlit(base.LAT_MIN)} + 1.0e-1 + {base.u01_sql('k', 32)} * 4.0e-1 AS y0"
+    " FROM (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier) s) t"
+)
+
+
+def q_simplify_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import simplify
+
+    tr = _trace_df(spark, sf_dir)
+    kept = simplify.kept_indices(F.col("xs"), F.col("ys"), SIMPLIFY_EPS_M2)
+    return tr.select(
+        "way_id",
+        F.size("xs").alias("n_in"),
+        F.size(kept).alias("n_out"),
+        F.array_join(
+            F.transform(kept, lambda i: i.cast("string")), ","
+        ).alias("kept_csv"),
+    )
+
+
+def _sql_simplify_ways() -> str:
+    from ..operators.simplify import kept_indices_sql
+
+    kept = kept_indices_sql("xs", "ys", SIMPLIFY_EPS_M2)
+    return (
+        f"WITH tr AS ({_TRACE_SQL}), "
+        f"s AS (SELECT way_id, CAST(len(xs) AS INT) AS n_in, {kept} AS kept"
+        " FROM tr) "
+        "SELECT way_id, n_in, CAST(len(kept) AS INT) AS n_out,"
+        " array_to_string(kept, ',') AS kept_csv FROM s"
+    )
+
+
 QUERIES = {
     "geohash_stats": (q_geohash_stats, _sql_geohash_stats()),
     "way_length": (q_way_length, _sql_way_length()),
     "image_filter": (q_image_filter, _sql_image_filter()),
+    "aspect_buckets": (q_aspect_buckets, _sql_aspect_buckets()),
+    "simplify_ways": (q_simplify_ways, _sql_simplify_ways()),
 }
 
 

@@ -90,6 +90,138 @@ def _sql_dedup_cluster() -> str:
     )
 
 
+# -- cluster representative by quality ----------------------------------------
+# dedup_cluster keeps the min-id member — fine for counting, wrong for a
+# training corpus, where you keep the HIGHEST-QUALITY copy of each near-dup
+# family (the keep-best rule of CCNet/RefinedWeb-style dedup stages; the
+# reference's conflation analog is "best candidate wins", conflator.py). Rank
+# key is the integer-floored quality score (same e6 trick as text_quality, so
+# both engines compare identical longs); ties break to the smaller doc_id via
+# the struct's negated second field. Plan: the cluster shuffle plus ONE
+# groupBy on cluster_id — max(struct) aggregates partially map-side, no
+# window, no sort; at 10^12 docs this is the same cost as dedup_cluster.
+def _doc_quality_e6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, q_e6): floor(1e6 × quality_score), 0 for empty documents."""
+    from ..functions.barrier import eval_once
+
+    df = eval_once(
+        _docs(spark, sf_dir).withColumn("ws", text.words(F.col("text"))), ["ws"]
+    )
+    ws = F.col("ws")
+    nw = F.size(ws)
+    char_sum = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    avg_len = char_sum.cast("double") / nw.cast("double")
+    stop_ratio = text.stop_count(ws).cast("double") / nw.cast("double")
+    q_e6 = (
+        F.when(
+            nw > 0,
+            F.floor(text.quality_score(nw, avg_len, stop_ratio) * F.lit(1.0e6)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return df.select("doc_id", q_e6.alias("q_e6"))
+
+
+def _quality_e6_sql() -> str:
+    ws = text.words_sql("text")
+    nw = f"len({ws})"
+    char_sum = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform({ws}, w -> CAST(length(w) AS BIGINT))), (a, b) -> a + b)"
+    )
+    avg_len = f"(CAST({char_sum} AS DOUBLE) / CAST({nw} AS DOUBLE))"
+    stop_ratio = f"(CAST({text.stop_count_sql(ws)} AS DOUBLE) / CAST({nw} AS DOUBLE))"
+    q = text.quality_score_sql(nw, avg_len, stop_ratio)
+    return (
+        f"CASE WHEN {nw} > 0 THEN CAST(floor({q} * 1.0e6) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.phash_near_dup(docs.withColumn("phash", _derived_phash_col()))
+    cc = connected_components(pairs)
+    scored = _doc_quality_e6(spark, sf_dir)
+    member = scored.join(cc, scored["doc_id"] == cc["doc"], "left").select(
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        "doc_id",
+        "q_e6",
+    )
+    best = F.max(F.struct(F.col("q_e6"), (-F.col("doc_id")).alias("nd"))).alias("m")
+    return (
+        member.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"), best)
+        .select(
+            "cluster_id",
+            F.col("m.q_e6").alias("best_quality_e6"),
+            (-F.col("m.nd")).alias("keep_doc_id"),
+            "n_members",
+        )
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    best = "max(struct_pack(q_e6 := q_e6, nd := -doc_id))"
+    return (
+        f"WITH scored AS (SELECT doc_id, {_quality_e6_sql()} AS q_e6"
+        " FROM documents), "
+        "member AS (SELECT a.cluster_id, s.doc_id, s.q_e6 FROM scored s"
+        f" JOIN ({_sql_dedup_cluster()}) a USING (doc_id)) "
+        "SELECT cluster_id,"
+        f" ({best}).q_e6 AS best_quality_e6,"
+        f" -(({best}).nd) AS keep_doc_id,"
+        " count(*) AS n_members"
+        " FROM member GROUP BY cluster_id"
+    )
+
+
+# -- leakage-free train/val/test split ---------------------------------------
+# A per-document random split leaks: a near-dup pair straddling train and val
+# inflates eval (the canonical mistake documented by Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better" — eval overlap
+# from duplicates). Split by the CLUSTER id, not the doc id: hash-threshold
+# on md5(cluster_id) sends every whole near-dup family to one split.
+# Deterministic (no RNG state, reproducible across runs and engines), and a
+# pure projection on top of the cluster labels — the split adds zero
+# shuffles beyond the cluster job itself.
+SPLIT_VAL_PCT = 5
+SPLIT_TEST_PCT = 5
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import hashes
+
+    cl = q_dedup_cluster(spark, sf_dir)
+    slot = hashes.md5i(F.col("cluster_id"), 8) % 100
+    split = (
+        F.when(slot < SPLIT_VAL_PCT, F.lit("val"))
+        .when(slot < SPLIT_VAL_PCT + SPLIT_TEST_PCT, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return cl.select("doc_id", "cluster_id", split.alias("split"))
+
+
+def _sql_cluster_split() -> str:
+    from ..functions import hashes
+
+    slot = f"({hashes.md5i_sql('cluster_id', 8)} % 100)"
+    return (
+        "SELECT doc_id, cluster_id,"
+        f" CASE WHEN {slot} < {SPLIT_VAL_PCT} THEN 'val'"
+        f" WHEN {slot} < {SPLIT_VAL_PCT + SPLIT_TEST_PCT} THEN 'test'"
+        " ELSE 'train' END AS split"
+        f" FROM ({_sql_dedup_cluster()}) a"
+    )
+
+
 # -- benchmark decontamination -----------------------------------------------
 # The standard train/eval overlap check (GPT-3 appendix C / The Pile): flag
 # every training document sharing at least one word 4-gram with any document
@@ -428,6 +560,8 @@ QUERIES = {
     ),
     "dedup_simhash": (q_dedup_simhash, dedup.simhash_sql()),
     "dedup_cluster": (q_dedup_cluster, _sql_dedup_cluster()),
+    "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
+    "cluster_split": (q_cluster_split, _sql_cluster_split()),
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
     "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
     "repetition_stats": (q_repetition_stats, _sql_repetition_stats()),

@@ -202,8 +202,79 @@ def _sql_clip_align() -> str:
     )
 
 
+# -- hard-negative mining (contrastive training) ------------------------------
+# The CLIP-training data op downstream of clip_align: for each image-tower
+# vector, the k most-similar TEXT-tower vectors that are NOT its own pair —
+# the "hard negatives" an InfoNCE batch wants (Radford et al. use in-batch
+# negatives; curated pipelines pre-mine them corpus-wide, e.g. BLIP's
+# hard-negative mining for ITM). Plan shape = ann_cosine_topk with two
+# twists: the probe side is the (subsampled, broadcast) image tower, the
+# corpus side only the text tower, and the positive pair is excluded by
+# pair_id inequality — the text corpus is scanned once, never shuffled
+# except the final k·partitions-row top-k cut.
+HN_QUERY_MOD = 20  # image-tower pair_id % 20 == 0 → the probe subset
+HN_K = 3
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..functions.barrier import eval_once
+
+    emb = _emb(spark, sf_dir)
+    img = emb.filter(
+        (F.col("vec_id") % 2 == 0)
+        & ((F.col("vec_id") / 2).cast("long") % HN_QUERY_MOD == 0)
+    ).select(
+        (F.col("vec_id") / 2).cast("long").alias("qpair"),
+        F.col("embedding").alias("qvec"),
+    )
+    img = eval_once(
+        img.withColumn("qn", F.sqrt(similarity._norm2(F.col("qvec")))), ["qn"]
+    )
+    txt = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.floor(F.col("vec_id") / 2).cast("long").alias("npair"),
+        F.col("embedding").alias("nvec"),
+    )
+    txt = eval_once(
+        txt.withColumn("nn", F.sqrt(similarity._norm2(F.col("nvec")))), ["nn"]
+    )
+    scored = txt.join(
+        F.broadcast(img), F.col("qpair") != F.col("npair")
+    ).withColumn(
+        "cos",
+        similarity._dot(F.col("qvec"), F.col("nvec"))
+        / (F.col("qn") * F.col("nn")),
+    )
+    w = Window.partitionBy("qpair").orderBy(F.desc("cos"), F.asc("npair"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_K)
+        .select(
+            "qpair", "npair", F.col("rank").cast("int").alias("rank"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
+def _sql_hard_negatives() -> str:
+    cos = similarity.cosine_sql("q.embedding", "n.embedding", DIM)
+    return (
+        "WITH q AS (SELECT CAST(vec_id / 2 AS BIGINT) AS qpair, embedding"
+        " FROM embeddings WHERE vec_id % 2 = 0"
+        f" AND CAST(vec_id / 2 AS BIGINT) % {HN_QUERY_MOD} = 0), "
+        "n AS (SELECT CAST(floor(vec_id / 2) AS BIGINT) AS npair, embedding"
+        " FROM embeddings WHERE vec_id % 2 = 1), "
+        f"s AS (SELECT q.qpair, n.npair, {cos} AS cos FROM q JOIN n"
+        " ON q.qpair != n.npair) "
+        "SELECT qpair, npair, CAST(rank AS INT) AS rank, round(cos, 6) AS cos"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY qpair"
+        f" ORDER BY cos DESC, npair ASC) AS rank FROM s) t WHERE rank <= {HN_K}"
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, _sql_ann_cosine_topk()),
+    "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "ann_q8_topk": (q_ann_q8_topk, _sql_ann_q8_topk()),
     "clip_align": (q_clip_align, _sql_clip_align()),
     "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh_pairs()),

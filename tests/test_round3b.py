@@ -1,0 +1,160 @@
+"""Semantics tests for the round-3b pipeline operators: quality-based
+cluster representatives, leakage-free splits, aspect bucketing, and
+polyline simplification (beyond the DuckDB parity bar, which checks the
+same queries value-for-value in test_oracle_parity.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_merge_spark.queries import geo4, text
+
+
+# --- dedup_keep_best ---------------------------------------------------------
+def test_keep_best_picks_max_quality_then_min_id(spark, sf_dir):
+    best = {
+        r["cluster_id"]: r
+        for r in text.q_dedup_keep_best(spark, sf_dir).collect()
+    }
+    members = text.q_dedup_cluster(spark, sf_dir).collect()
+    quality = {
+        r["doc_id"]: r["q_e6"]
+        for r in text._doc_quality_e6(spark, sf_dir).collect()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for r in members:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert set(best) == set(by_cluster)
+    for cid, docs in by_cluster.items():
+        expect = min(docs, key=lambda d: (-quality[d], d))
+        row = best[cid]
+        assert row["keep_doc_id"] == expect, cid
+        assert row["best_quality_e6"] == quality[expect]
+        assert row["n_members"] == len(docs)
+
+
+def test_keep_best_no_window_no_sort(spark, sf_dir):
+    plan = text.q_dedup_keep_best(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "SortExec" not in plan.replace("SortMergeJoin", "")
+
+
+# --- cluster_split -----------------------------------------------------------
+def test_cluster_split_is_cluster_atomic(spark, sf_dir):
+    rows = text.q_cluster_split(spark, sf_dir).collect()
+    split_of_cluster: dict[int, str] = {}
+    for r in rows:
+        prev = split_of_cluster.setdefault(r["cluster_id"], r["split"])
+        # every member of a cluster lands in the SAME split — no leakage
+        assert prev == r["split"], r["cluster_id"]
+    # all three splits are populated and train dominates
+    counts = {s: 0 for s in ("train", "val", "test")}
+    for r in rows:
+        counts[r["split"]] += 1
+    assert counts["train"] > counts["val"] > 0
+    assert counts["test"] > 0
+
+
+def test_cluster_split_covers_every_document(spark, sf_dir):
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert text.q_cluster_split(spark, sf_dir).count() == n_docs
+
+
+# --- aspect_buckets ----------------------------------------------------------
+def test_aspect_bucket_is_nearest_in_log_space(spark, sf_dir):
+    import math
+
+    rows = geo4.q_aspect_buckets(spark, sf_dir).collect()
+    # rollup covers every image exactly once
+    img_n = geo4.base.images_df(spark, sf_dir).count()
+    assert sum(r["n_images"] for r in rows) == img_n
+    # the CASE-ladder thresholds are exactly the log-space argmin:
+    # re-derive per-image assignments and cross-check a sample
+    img = geo4.base.images_df(spark, sf_dir)
+    key = F.col("ikey")
+    w, h = geo4._dims(key)
+    sample = img.select(w.alias("w"), h.alias("h")).limit(500).collect()
+    for r in sample:
+        aspect = r["w"] / r["h"]
+        nearest = min(
+            range(len(geo4.BUCKETS)),
+            key=lambda i: (abs(math.log(aspect) - math.log(geo4._ASPECTS[i])), i),
+        )
+        ladder = next(
+            (i for i, t in enumerate(geo4._THRESH) if aspect < t),
+            len(geo4._ASPECTS) - 1,
+        )
+        assert ladder == nearest, (r["w"], r["h"])
+
+
+def test_aspect_buckets_plan_is_projection_only(spark, sf_dir):
+    plan = geo4.q_aspect_buckets(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # one aggregation exchange for the 9-row rollup; NO join for the
+    # bucket lookup (the argmin compiled to a CASE ladder)
+    assert "CartesianProduct" not in plan
+    # only images_df's own lineitem-part joins — adding the bucket argmin
+    # must not add ANY join (it compiles to a CASE ladder projection)
+    base_plan = geo4.base.images_df(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert (plan.count("BroadcastHashJoin")
+            <= base_plan.count("BroadcastHashJoin"))
+
+
+# --- simplify_ways -----------------------------------------------------------
+def test_simplify_keeps_endpoints_and_corners_drops_jitter(spark, sf_dir):
+    rows = geo4.q_simplify_ways(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        kept = [int(i) for i in r["kept_csv"].split(",")]
+        assert r["n_in"] == geo4.N_TRACE
+        assert kept[0] == 1 and kept[-1] == geo4.N_TRACE
+        # planted corners survive; their neighbours may too (the corner
+        # displaces THEIR triangles as well) but plain-jitter interior
+        # vertices far from corners must be gone
+        for c in geo4.TRACE_CORNERS:
+            assert c in kept, r["way_id"]
+        near_corner = {
+            c + d for c in geo4.TRACE_CORNERS for d in (-1, 0, 1)
+        }
+        for i in range(2, geo4.N_TRACE):
+            if i not in near_corner:
+                assert i not in kept, (r["way_id"], i)
+
+
+def test_simplify_matches_bruteforce(spark, sf_dir):
+    tr = geo4._trace_df(spark, sf_dir).collect()
+    got = {
+        r["way_id"]: [int(i) for i in r["kept_csv"].split(",")]
+        for r in geo4.q_simplify_ways(spark, sf_dir).collect()
+    }
+    from osm_merge_spark.operators.simplify import MX, MY
+
+    for r in tr:
+        xs, ys, n = r["xs"], r["ys"], len(r["xs"])
+        kept = []
+        for i in range(1, n + 1):
+            if i in (1, n):
+                kept.append(i)
+                continue
+            x1, y1 = xs[i - 2] * MX, ys[i - 2] * MY
+            x2, y2 = xs[i - 1] * MX, ys[i - 1] * MY
+            x3, y3 = xs[i] * MX, ys[i] * MY
+            area = abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)) * 0.5
+            if area >= geo4.SIMPLIFY_EPS_M2:
+                kept.append(i)
+        assert got[r["way_id"]] == kept
+
+
+def test_simplify_plan_is_shuffle_free(spark, sf_dir):
+    from osm_merge_spark.operators import simplify
+
+    tr = geo4._trace_df(spark, sf_dir)
+    kept = simplify.kept_indices(F.col("xs"), F.col("ys"),
+                                 geo4.SIMPLIFY_EPS_M2)
+    df = tr.select("way_id", F.size(kept).alias("n_out"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection: no shuffle at any scale
