@@ -202,6 +202,43 @@ def _sql_clip_align() -> str:
     )
 
 
+# -- PQ (product quantization) ADC top-k --------------------------------------
+# The 64×-compression member of the ANN family (see operators/pq.py): 4-bit
+# codes per 8-d subspace, asymmetric-distance scoring. The md5 codebook is
+# the deterministic no-training stand-in (production ships offline-trained
+# codebooks as literals the same way — pq_train provides that path); the
+# oracle reproduces the codebook literally, so the APPROXIMATE ADC scores
+# are themselves value-checked, not just the plumbing.
+PQ_QUERY_MOD = 50
+PQ_TOPK = 5
+_PQ_CB = None
+
+
+def _pq_cb():
+    global _PQ_CB
+    if _PQ_CB is None:
+        from ..operators import pq
+
+        _PQ_CB = pq.codebook()
+    return _PQ_CB
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % PQ_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return pq.pq_adc_topk(emb, queries, _pq_cb(), k=PQ_TOPK)
+
+
+def _sql_ann_pq_topk() -> str:
+    from ..operators import pq
+
+    return pq.pq_adc_topk_sql("embeddings", _pq_cb(), PQ_TOPK, PQ_QUERY_MOD)
+
+
 # -- hard-negative mining (contrastive training) ------------------------------
 # The CLIP-training data op downstream of clip_align: for each image-tower
 # vector, the k most-similar TEXT-tower vectors that are NOT its own pair —
@@ -276,6 +313,7 @@ QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, _sql_ann_cosine_topk()),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "ann_q8_topk": (q_ann_q8_topk, _sql_ann_q8_topk()),
+    "ann_pq_topk": (q_ann_pq_topk, _sql_ann_pq_topk()),
     "clip_align": (q_clip_align, _sql_clip_align()),
     "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh_pairs()),
     "ivf_search": (q_ivf_search, _sql_ivf_search()),
