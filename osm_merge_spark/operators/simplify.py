@@ -33,6 +33,7 @@ mx=cos(lat_band)·111320 from the partition value.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -99,3 +100,64 @@ def kept_indices_sql(xs: str, ys: str, eps_m2: float,
         f"list_filter(range(1, len({xs}) + 1),"
         f" i -> i = 1 OR i = len({xs}) OR {area} >= {dlit(eps_m2)})"
     )
+
+
+# --- Douglas–Peucker (full, iterative) ---------------------------------------
+# The classic max-deviation simplifier: recursively keep the vertex farthest
+# from the current chord while it deviates more than eps. Unlike the VW
+# one-pass above, DP gives a hard guarantee — every dropped vertex lies
+# within eps meters of the SIMPLIFIED line — but the recursion is inherently
+# sequential per feature, so it genuinely cannot be a Catalyst expression.
+# This is the engine's designated slow path done right: an Arrow-batched
+# pandas UDF (numpy stack loop per polyline, no per-row Python boxing), a
+# pure per-row projection — no shuffle, scales embarrassingly at 10^12 ways.
+# The reference reaches the same operation through shapely's
+# geometry.simplify (GEOS DP) when preparing small fieldwork payloads.
+def dp_keep_mask(x, y, eps: float):
+    """numpy reference DP: boolean keep-mask over one polyline (meters)."""
+    import numpy as np
+
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        dx, dy = x[j] - x[i], y[j] - y[i]
+        seg2 = dx * dx + dy * dy
+        px, py = x[i + 1:j] - x[i], y[i + 1:j] - y[i]
+        if seg2 == 0.0:
+            d = np.hypot(px, py)
+        else:
+            d = np.abs(px * dy - py * dx) / np.sqrt(seg2)
+        k = int(d.argmax())
+        if d[k] > eps:
+            ki = i + 1 + k
+            keep[ki] = True
+            stack.append((i, ki))
+            stack.append((ki, j))
+    return keep
+
+
+def dp_kept_indices_udf(eps_m: float, mx: float = MX, my: float = MY):
+    """pandas_udf (array<double>, array<double>) -> array<int> of 1-based
+    kept indices under Douglas–Peucker with tolerance eps_m meters."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _dp(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(xs, ys):
+            x = np.asarray(x, dtype=np.float64) * mx
+            y = np.asarray(y, dtype=np.float64) * my
+            if len(x) <= 2:
+                out.append(list(range(1, len(x) + 1)))
+                continue
+            keep = dp_keep_mask(x, y, eps_m)
+            out.append((np.flatnonzero(keep) + 1).tolist())
+        return pd.Series(out)
+
+    return _dp

@@ -318,12 +318,58 @@ def _sql_simplify_ways() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# trace_sinuosity — path length ÷ endpoint chord per trace (the classic
+# road-geometry quality metric: ≈1 for straight ways, ≫1 for switchbacks or
+# noisy GPS tracks; the field-data triage the reference does by eye in JOSM).
+# Same shape as way_length: a per-row haversine fold, no explode, no shuffle.
+# ---------------------------------------------------------------------------
+def q_trace_sinuosity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _trace_df(spark, sf_dir)
+    length = F.aggregate(
+        F.sequence(F.lit(1), F.size("xs") - 1),
+        F.lit(0.0),
+        lambda acc, k: acc + geo.haversine_m(
+            F.element_at("xs", k), F.element_at("ys", k),
+            F.element_at("xs", k + 1), F.element_at("ys", k + 1),
+        ),
+    )
+    chord = geo.haversine_m(
+        F.element_at("xs", 1), F.element_at("ys", 1),
+        F.element_at("xs", F.size("xs")), F.element_at("ys", F.size("xs")),
+    )
+    return tr.select(
+        "way_id",
+        F.round(length, 3).alias("length_m"),
+        F.round(chord, 3).alias("chord_m"),
+        F.round(length / chord, 6).alias("sinuosity"),
+    )
+
+
+def _sql_trace_sinuosity() -> str:
+    hav = geo.haversine_m_sql("xs[i]", "ys[i]", "xs[i+1]", "ys[i+1]")
+    length = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, len(xs)), i -> {hav})), (a, b) -> a + b)"
+    )
+    chord = geo.haversine_m_sql(
+        "xs[1]", "ys[1]", "xs[len(xs)]", "ys[len(xs)]"
+    )
+    return (
+        f"WITH tr AS ({_TRACE_SQL}) "
+        f"SELECT way_id, round({length}, 3) AS length_m,"
+        f" round({chord}, 3) AS chord_m,"
+        f" round(({length}) / ({chord}), 6) AS sinuosity FROM tr"
+    )
+
+
 QUERIES = {
     "geohash_stats": (q_geohash_stats, _sql_geohash_stats()),
     "way_length": (q_way_length, _sql_way_length()),
     "image_filter": (q_image_filter, _sql_image_filter()),
     "aspect_buckets": (q_aspect_buckets, _sql_aspect_buckets()),
     "simplify_ways": (q_simplify_ways, _sql_simplify_ways()),
+    "trace_sinuosity": (q_trace_sinuosity, _sql_trace_sinuosity()),
 }
 
 

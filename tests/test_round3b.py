@@ -158,3 +158,106 @@ def test_simplify_plan_is_shuffle_free(spark, sf_dir):
     df = tr.select("way_id", F.size(kept).alias("n_out"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection: no shuffle at any scale
+
+
+# --- Douglas–Peucker ----------------------------------------------------------
+def _dp_brute(x, y, eps):
+    """Independent recursive DP implementation for cross-checking."""
+    def rec(i, j, keep):
+        if j <= i + 1:
+            return
+        best, bd = -1, -1.0
+        dx, dy = x[j] - x[i], y[j] - y[i]
+        seg2 = dx * dx + dy * dy
+        for k in range(i + 1, j):
+            px, py = x[k] - x[i], y[k] - y[i]
+            if seg2 == 0.0:
+                d = (px * px + py * py) ** 0.5
+            else:
+                d = abs(px * dy - py * dx) / seg2 ** 0.5
+            if d > bd:
+                best, bd = k, d
+        if bd > eps:
+            keep[best] = True
+            rec(i, best, keep)
+            rec(best, j, keep)
+
+    keep = [False] * len(x)
+    keep[0] = keep[-1] = True
+    rec(0, len(x) - 1, keep)
+    return [i + 1 for i, k in enumerate(keep) if k]
+
+
+def test_dp_matches_independent_recursion_and_guarantee(spark, sf_dir):
+    from osm_merge_spark.operators import simplify
+
+    eps_m = 50.0
+    tr = geo4._trace_df(spark, sf_dir)
+    udf = simplify.dp_kept_indices_udf(eps_m)
+    got = {
+        r["way_id"]: list(r["kept"])
+        for r in tr.select(
+            "way_id", udf(F.col("xs"), F.col("ys")).alias("kept")
+        ).collect()
+    }
+    for r in tr.collect():
+        x = [v * simplify.MX for v in r["xs"]]
+        y = [v * simplify.MY for v in r["ys"]]
+        want = _dp_brute(x, y, eps_m)
+        assert got[r["way_id"]] == want, r["way_id"]
+        # the DP guarantee: every DROPPED vertex is within eps of the
+        # simplified polyline
+        kept = got[r["way_id"]]
+        for i in range(1, len(x) + 1):
+            if i in kept:
+                continue
+            import bisect
+
+            pos = bisect.bisect_left(kept, i)
+            a, b = kept[pos - 1] - 1, kept[pos] - 1
+            dx, dy = x[b] - x[a], y[b] - y[a]
+            seg2 = dx * dx + dy * dy
+            px, py = x[i - 1] - x[a], y[i - 1] - y[a]
+            d = (abs(px * dy - py * dx) / seg2 ** 0.5 if seg2
+                 else (px * px + py * py) ** 0.5)
+            assert d <= eps_m + 1e-9, (r["way_id"], i, d)
+
+
+def test_dp_hypothesis_random_polylines():
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+    from osm_merge_spark.operators.simplify import dp_keep_mask
+
+    coords = st.lists(
+        st.tuples(
+            st.floats(-1000, 1000, allow_nan=False),
+            st.floats(-1000, 1000, allow_nan=False),
+        ),
+        min_size=3, max_size=40,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(coords, st.floats(0.1, 200))
+    def run(pts, eps):
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        keep = dp_keep_mask(x, y, eps)
+        want = _dp_brute(list(x), list(y), eps)
+        assert (np.flatnonzero(keep) + 1).tolist() == want
+        # idempotence: simplifying the simplified line changes nothing
+        kx, ky = x[keep], y[keep]
+        keep2 = dp_keep_mask(kx, ky, eps)
+        assert keep2.all()
+
+    run()
+
+
+def test_dp_is_projection_only(spark, sf_dir):
+    from osm_merge_spark.operators import simplify
+
+    tr = geo4._trace_df(spark, sf_dir)
+    udf = simplify.dp_kept_indices_udf(50.0)
+    df = tr.select("way_id", udf(F.col("xs"), F.col("ys")).alias("kept"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # Arrow-batched, not row-at-a-time
