@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,10 +93,27 @@ def pq_train(emb: DataFrame, vec_col: str = "embedding",
 
 
 # --- encode ------------------------------------------------------------------
+# Two implementations, bit-identical by construction:
+#   pq_encode      — Catalyst expression (fold-of-structs argmin). This is
+#                    the oracle-shaped reference; Spark evaluates
+#                    higher-order array functions INTERPRETED, measured
+#                    ~1.5 ms/row·core — fine for correctness runs, wrong
+#                    for the scale path. (A flat +/least/CASE rewrite was
+#                    measured 4-6× WORSE: the CASE ladder re-evaluates
+#                    every distance and the >64 KB method bails out of
+#                    codegen — both variants recorded in BASELINE.md.)
+#   pq_encode_udf  — Arrow-batched numpy, the production path (what FAISS
+#                    does with BLAS): vectorized over rows and centroids,
+#                    SEQUENTIAL over the 8 dims with `+=` so the float
+#                    accumulation is exactly the 0.0-seeded left fold of
+#                    the Catalyst/SQL forms (numpy's own .sum() does
+#                    pairwise summation — different rounding, so it is NOT
+#                    used); np.argmin takes the first minimum, matching
+#                    the fold's strict-< rule. tests/test_pq.py pins
+#                    UDF == Catalyst == numpy reference equality.
 def _sub_dist(vec: Column, mi: int, cent: list[float]) -> Column:
     """||vec_sub(mi) - cent||²: 0.0-seeded left fold over the 8 dims (the
-    exact order the SQL mirror reproduces; seeds of 0.0 never change a sum
-    of squares, so this equals the plain left-associated sum)."""
+    exact order the SQL mirror and the UDF reproduce)."""
     carr = F.array(*[F.lit(c) for c in cent])
 
     def term(d: Column) -> Column:
@@ -141,6 +159,44 @@ def pq_encode(vec: Column, cb: list[list[list[float]]]) -> Column:
     return F.array(*codes)
 
 
+def np_encode_block(x, cb):
+    """numpy encode with the exact fold arithmetic: x (n, 64) float64,
+    cb (M, K, D) float64 → (n, M) int codes. Sequential += over dims keeps
+    IEEE left-fold order; argmin keeps the first minimum."""
+    import numpy as np
+
+    n = x.shape[0]
+    codes = np.zeros((n, M_SUB), dtype=np.int32)
+    for mi in range(M_SUB):
+        sub = x[:, mi * D_SUB:(mi + 1) * D_SUB]
+        d2 = np.zeros((n, K_CODES), dtype=np.float64)
+        for d in range(D_SUB):
+            diff = sub[:, d:d + 1] - cb[mi][None, :, d]
+            d2 += diff * diff
+        codes[:, mi] = d2.argmin(axis=1)
+    return codes
+
+
+def pq_encode_udf(cb: list[list[list[float]]]):
+    """pandas_udf array<float> -> array<int>: the vectorized production
+    encoder (Arrow batches in, one numpy matmul-shaped pass per batch)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cba = [[list(c) for c in sub] for sub in cb]
+
+    @pandas_udf("array<int>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        cbn = np.array(cba, dtype=np.float64)
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.Series([], dtype=object)
+        codes = np_encode_block(x, cbn)
+        return pd.Series(list(codes.tolist()))
+
+    return _enc
+
+
 def pq_encode_sql(vec: str, cb: list[list[list[float]]]) -> str:
     codes = []
     for mi in range(M_SUB):
@@ -168,18 +224,20 @@ def _adc_lut(qvec: Column, cb: list[list[list[float]]]) -> Column:
 def pq_adc_topk(emb: DataFrame, queries: DataFrame,
                 cb: list[list[list[float]]], k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+                qid_col: str = "qid", qvec_col: str = "qvec",
+                use_udf: bool = True) -> DataFrame:
     """Top-k by ADC distance (ascending, nid-asc ties). queries:
     (qid, qvec), broadcast. The corpus ships only (id, M codes) into the
-    join — the full vectors never leave their scan."""
+    join — the full vectors never leave their scan. use_udf selects the
+    vectorized Arrow encoder (default, the scale path) vs the pure
+    Catalyst expression; both produce identical codes."""
     from pyspark.sql import Window
     from ..functions.barrier import eval_once
 
+    enc = (pq_encode_udf(cb)(F.col(vec_col)) if use_udf
+           else pq_encode(F.col(vec_col), cb))
     coded = eval_once(
-        emb.select(
-            F.col(id_col).alias("nid"),
-            pq_encode(F.col(vec_col), cb).alias("code"),
-        ),
+        emb.select(F.col(id_col).alias("nid"), enc.alias("code")),
         ["code"],
     )
     q = eval_once(

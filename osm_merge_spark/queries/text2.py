@@ -299,9 +299,59 @@ def _sql_phash_topk() -> str:
     )
 
 
+# -- token-offset sharding (GPT-style corpus chunking) ------------------------
+# Pretraining tokenization streams documents per source/language, concatenates
+# them, and cuts fixed-token-budget shards regardless of doc boundaries
+# (GPT-2/3 data prep; Megatron's indexed dataset build). The distributed form:
+# per-language running token offset (window cumsum), shard = the budget block
+# containing the document's FIRST token. Plan: one shuffle on lang + an
+# ordered window per lang partition. At 10^12 docs a single window per
+# language is skewed (en ≫ others) — production splits the stream key into
+# (lang, ingest-day) exactly like the hot-cell salting in cell_join; the
+# window algebra is unchanged, so the per-lang form is what the oracle pins.
+TOKEN_BUDGET = 2048  # tokens per shard
+
+
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = eval_once(
+        _docs(spark, sf_dir).withColumn(
+            "n_tokens", text.token_count(F.col("text"))
+        ),
+        ["n_tokens"],
+    )
+    w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return docs.select(
+        "doc_id", "lang", "n_tokens",
+        start.alias("start_tok"),
+        F.floor(start / F.lit(TOKEN_BUDGET)).cast("long").alias("shard_id"),
+    )
+
+
+def _sql_token_shards() -> str:
+    nt = text.token_count_sql("text")
+    return (
+        f"WITH d AS (SELECT doc_id, lang, CAST({nt} AS INT) AS n_tokens"
+        " FROM documents), "
+        "o AS (SELECT doc_id, lang, n_tokens,"
+        " CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+        " AS start_tok FROM d) "
+        "SELECT doc_id, lang, n_tokens, start_tok,"
+        f" CAST(floor(start_tok / {TOKEN_BUDGET}) AS BIGINT) AS shard_id"
+        " FROM o"
+    )
+
+
 QUERIES = {
     "chunk_dedup": (q_chunk_dedup, _sql_chunk_dedup()),
     "pii_scrub": (q_pii_scrub, _sql_pii_scrub()),
     "tfidf_topterms": (q_tfidf_topterms, _sql_tfidf_topterms()),
     "phash_topk": (q_phash_topk, _sql_phash_topk()),
+    "token_shards": (q_token_shards, _sql_token_shards()),
 }

@@ -74,6 +74,19 @@ def test_codes_match_numpy_and_are_in_range(spark, sf_dir, data):
         assert list(code) == list(want[i]), vid
 
 
+def test_udf_encoder_equals_catalyst_encoder(spark, sf_dir):
+    cb = pq.codebook()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    both = emb.select(
+        "vec_id",
+        pq.pq_encode(F.col("embedding"), cb).alias("cat"),
+        pq.pq_encode_udf(cb)(F.col("embedding")).alias("udf"),
+    ).collect()
+    assert both
+    for r in both:
+        assert list(r["cat"]) == list(r["udf"]), r["vec_id"]
+
+
 def test_adc_scores_match_numpy(spark, sf_dir, data):
     ids, x = data
     cb = np.array(pq.codebook())

@@ -261,3 +261,29 @@ def test_dp_is_projection_only(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan  # Arrow-batched, not row-at-a-time
+
+
+# --- plan-shape pins for the round-3b window queries ---------------------------
+def test_hard_negatives_plan_topk_pushdown(spark, sf_dir):
+    from osm_merge_spark.queries.vectors import q_hard_negatives
+
+    plan = q_hard_negatives(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the rank<=k filter must reach the map side: a partial WindowGroupLimit
+    # cuts every partition to k rows per qid BEFORE the final shuffle, so
+    # the exchange carries k·partitions rows, not the full pair stream
+    assert plan.count("WindowGroupLimit") >= 2
+    # probe side broadcasts (inequality join => nested-loop w/ broadcast);
+    # the text corpus must never sort-merge
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_shards_plan_single_window(spark, sf_dir):
+    from osm_merge_spark.queries.text2 import q_token_shards
+
+    plan = q_token_shards(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # one shuffle on lang feeding one ordered window — nothing else
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
