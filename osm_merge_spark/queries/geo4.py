@@ -363,6 +363,80 @@ def _sql_trace_sinuosity() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# geo_sample — geo-stratified capping: at most K images per 5 km tile,
+# chosen by a deterministic md5 rank. Imagery corpora are brutally skewed
+# toward cities; capping per tile is the standard de-biasing step (the
+# geographic analog of per-language stratified sampling in queries/text.py).
+# Plan: tile id is floor arithmetic (no join), then ONE ordered window per
+# tile — Spark's WindowGroupLimit cuts each map partition to K rows per
+# tile before the exchange, so the shuffle carries ≤ K·partitions rows per
+# tile, never the raw stream (same pushdown pinned for hard_negatives).
+# ---------------------------------------------------------------------------
+GEO_SAMPLE_K = 20
+
+
+def q_geo_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..functions import hashes
+    from .geo import TILES
+
+    img = base.images_df(spark, sf_dir)
+    ranked = img.select(
+        "image_id",
+        TILES.tile_id(F.col("lon"), F.col("lat")).alias("tile_id"),
+        hashes.md5i(F.col("ikey"), 12).alias("rk"),
+        "ikey",
+    )
+    w = Window.partitionBy("tile_id").orderBy(F.asc("rk"), F.asc("ikey"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= GEO_SAMPLE_K)
+        .select("tile_id", "image_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _sql_geo_sample() -> str:
+    from ..functions import hashes
+    from .geo import TILES
+
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"r AS (SELECT image_id, {TILES.tile_id_sql('lon', 'lat')} AS tile_id,"
+        f" {hashes.md5i_sql('ikey', 12)} AS rk, ikey FROM img) "
+        "SELECT tile_id, image_id, CAST(rank AS INT) AS rank FROM ("
+        " SELECT tile_id, image_id, row_number() OVER (PARTITION BY tile_id"
+        " ORDER BY rk ASC, ikey ASC) AS rank FROM r) t"
+        f" WHERE rank <= {GEO_SAMPLE_K}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# image_assemble — the image-corpus capstone (twin of corpus_assemble in
+# queries/text.py): an image enters the training corpus iff it (a) passes
+# the LAION-style metadata gate and (b) survives the geo-stratified cap.
+# One lazy plan: the gate is a pushed-down projection-filter, the cap is
+# the geo_sample window, the intersection a broadcast-able semi-join on the
+# (small) capped set.
+# ---------------------------------------------------------------------------
+def q_image_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = q_image_filter(spark, sf_dir).filter(F.col("keep")).select(
+        "image_id", "w", "h"
+    )
+    sampled = q_geo_sample(spark, sf_dir)
+    return sampled.join(kept, "image_id", "inner").select(
+        "image_id", "tile_id", "w", "h"
+    )
+
+
+def _sql_image_assemble() -> str:
+    return (
+        f"SELECT s.image_id, s.tile_id, f.w, f.h FROM ({_sql_geo_sample()}) s"
+        f" JOIN (SELECT image_id, w, h FROM ({_sql_image_filter()}) ff"
+        "  WHERE keep) f ON s.image_id = f.image_id"
+    )
+
+
 QUERIES = {
     "geohash_stats": (q_geohash_stats, _sql_geohash_stats()),
     "way_length": (q_way_length, _sql_way_length()),
@@ -370,6 +444,8 @@ QUERIES = {
     "aspect_buckets": (q_aspect_buckets, _sql_aspect_buckets()),
     "simplify_ways": (q_simplify_ways, _sql_simplify_ways()),
     "trace_sinuosity": (q_trace_sinuosity, _sql_trace_sinuosity()),
+    "geo_sample": (q_geo_sample, _sql_geo_sample()),
+    "image_assemble": (q_image_assemble, _sql_image_assemble()),
 }
 
 

@@ -287,3 +287,47 @@ def test_token_shards_plan_single_window(spark, sf_dir):
     # one shuffle on lang feeding one ordered window — nothing else
     assert plan.count("Window") == 1
     assert plan.count("Exchange") == 1
+
+
+# --- geo_sample / image_assemble -----------------------------------------------
+def test_geo_sample_caps_every_tile_and_is_deterministic(spark, sf_dir):
+    rows = geo4.q_geo_sample(spark, sf_dir).collect()
+    per_tile: dict[int, list] = {}
+    for r in rows:
+        per_tile.setdefault(r["tile_id"], []).append(r["rank"])
+    assert per_tile
+    for tid, ranks in per_tile.items():
+        ranks.sort()
+        assert ranks == list(range(1, len(ranks) + 1)), tid
+        assert len(ranks) <= geo4.GEO_SAMPLE_K
+    # tiles with more than K source images are capped exactly AT K
+    from osm_merge_spark.queries.geo import TILES
+
+    img = geo4.base.images_df(spark, sf_dir)
+    full = {
+        r["tile_id"]: r["n"]
+        for r in img.select(
+            TILES.tile_id(F.col("lon"), F.col("lat")).alias("tile_id")
+        ).groupBy("tile_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_tile) == set(full)
+    for tid, n in full.items():
+        assert len(per_tile[tid]) == min(n, geo4.GEO_SAMPLE_K), tid
+
+
+def test_geo_sample_plan_topk_pushdown(spark, sf_dir):
+    plan = geo4.q_geo_sample(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final cut
+    assert "SortMergeJoin" not in plan
+
+
+def test_image_assemble_is_the_intersection(spark, sf_dir):
+    got = {r["image_id"] for r in
+           geo4.q_image_assemble(spark, sf_dir).collect()}
+    kept = {r["image_id"] for r in
+            geo4.q_image_filter(spark, sf_dir).filter(F.col("keep")).collect()}
+    sampled = {r["image_id"] for r in
+               geo4.q_geo_sample(spark, sf_dir).collect()}
+    assert got == kept & sampled
+    assert got  # non-degenerate fixture
