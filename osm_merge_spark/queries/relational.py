@@ -377,8 +377,38 @@ def _sql_value_quantiles() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# events_cube — full CUBE over (event_type, hour-of-day): every subtotal
+# combination in ONE aggregation pass (Spark expands the grouping sets and
+# partially aggregates each map-side — at 10^12 rows the shuffle carries
+# |types|×24×4 combiner rows per task, not the raw stream). grouping_id
+# disambiguates a genuine NULL group key from a subtotal row — both engines
+# put the first cube column in the high bit, verified by the oracle match.
+# ---------------------------------------------------------------------------
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir).withColumn("hour", F.hour("ts"))
+    return (
+        df.cube("event_type", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+def _sql_events_cube() -> str:
+    return (
+        "SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hour,"
+        " count(*) AS n, round(sum(value), 2) AS sum_value,"
+        " CAST(GROUPING(event_type, EXTRACT(hour FROM ts)) AS INT) AS gid"
+        " FROM events GROUP BY CUBE (event_type, EXTRACT(hour FROM ts))"
+    )
+
+
 QUERIES = {
     "events_rollup": (q_events_rollup, _sql_events_rollup()),
+    "events_cube": (q_events_cube, _sql_events_cube()),
     "asof_join": (q_asof_join, _sql_asof_join()),
     "value_quantiles": (q_value_quantiles, _sql_value_quantiles()),
     "merge_upsert": (q_merge_upsert, _sql_merge_upsert()),

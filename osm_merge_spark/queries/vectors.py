@@ -239,6 +239,98 @@ def _sql_ann_pq_topk() -> str:
     return pq.pq_adc_topk_sql("embeddings", _pq_cb(), PQ_TOPK, PQ_QUERY_MOD)
 
 
+# -- MRL staged retrieval (coarse prefix search → exact re-rank) ---------------
+# The adaptive-retrieval pattern Matryoshka embeddings are built for
+# (Kusupati et al., NeurIPS'22; shipped by OpenAI text-embedding-3): stage 1
+# scores every corpus vector against the query using only the FIRST 16 dims
+# (4× less arithmetic and — in production, where the prefix is stored as its
+# own compact column — 4× less scan), keeps the top MRL_CAND candidates per
+# query, and stage 2 re-ranks only those with the exact 64-d cosine. The
+# synthetic embeddings are not MRL-trained, so stage 1 is a genuinely lossy
+# coarse scorer — which is exactly what makes the recall test vs brute force
+# meaningful (tests pin measured recall, the oracle pins the two-stage
+# result itself bit-for-bit).
+MRL_DIM = 16
+MRL_CAND = 25
+MRL_TOPK = 5
+
+
+def q_ann_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..functions.barrier import eval_once
+
+    emb = _emb(spark, sf_dir)
+    pre = eval_once(
+        emb.select(
+            F.col("vec_id").alias("nid"),
+            F.slice(F.col("embedding"), 1, MRL_DIM).alias("pvec"),
+        ).withColumn("pn", F.sqrt(similarity._norm2(F.col("pvec")))),
+        ["pn"],
+    )
+    q_pre = eval_once(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.slice(F.col("embedding"), 1, MRL_DIM).alias("qpvec"),
+        ).withColumn("qpn", F.sqrt(similarity._norm2(F.col("qpvec")))),
+        ["qpn"],
+    )
+    s1 = pre.join(F.broadcast(q_pre), F.col("qid") != F.col("nid")).withColumn(
+        "pcos",
+        similarity._dot(F.col("qpvec"), F.col("pvec"))
+        / (F.col("qpn") * F.col("pn")),
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.desc("pcos"), F.asc("nid"))
+    cand = (
+        s1.withColumn("crank", F.row_number().over(w1))
+        .filter(F.col("crank") <= MRL_CAND)
+        .select("qid", "nid")
+    )
+    full = eval_once(
+        emb.select(F.col("vec_id").alias("nid"),
+                   F.col("embedding").alias("nvec"))
+        .withColumn("nn", F.sqrt(similarity._norm2(F.col("nvec")))),
+        ["nn"],
+    )
+    q_full = eval_once(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        ).withColumn("qn", F.sqrt(similarity._norm2(F.col("qvec")))),
+        ["qn"],
+    )
+    s2 = cand.join(full, "nid").join(F.broadcast(q_full), "qid").withColumn(
+        "cos",
+        similarity._dot(F.col("qvec"), F.col("nvec"))
+        / (F.col("qn") * F.col("nn")),
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        s2.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= MRL_TOPK)
+        .select("qid", "nid", F.col("rank").cast("int").alias("rank"),
+                F.round("cos", 6).alias("cos"))
+    )
+
+
+def _sql_ann_mrl_topk() -> str:
+    pcos = similarity.cosine_sql("q.embedding", "n.embedding", MRL_DIM)
+    cos = similarity.cosine_sql("q.embedding", "n.embedding", DIM)
+    return (
+        f"WITH qs AS (SELECT * FROM embeddings WHERE vec_id % {QUERY_MOD} = 0), "
+        "s1 AS (SELECT q.vec_id AS qid, n.vec_id AS nid,"
+        f" {pcos} AS pcos FROM qs q JOIN embeddings n ON q.vec_id != n.vec_id), "
+        "cand AS (SELECT qid, nid FROM (SELECT *, row_number() OVER ("
+        " PARTITION BY qid ORDER BY pcos DESC, nid ASC) AS crank FROM s1) t"
+        f" WHERE crank <= {MRL_CAND}), "
+        "s2 AS (SELECT c.qid, c.nid,"
+        f" {cos} AS cos FROM cand c"
+        " JOIN embeddings n ON n.vec_id = c.nid"
+        " JOIN qs q ON q.vec_id = c.qid) "
+        "SELECT qid, nid, CAST(rank AS INT) AS rank, round(cos, 6) AS cos"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY qid"
+        f" ORDER BY cos DESC, nid ASC) AS rank FROM s2) t WHERE rank <= {MRL_TOPK}"
+    )
+
+
 # -- hard-negative mining (contrastive training) ------------------------------
 # The CLIP-training data op downstream of clip_align: for each image-tower
 # vector, the k most-similar TEXT-tower vectors that are NOT its own pair —
@@ -314,6 +406,7 @@ QUERIES = {
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "ann_q8_topk": (q_ann_q8_topk, _sql_ann_q8_topk()),
     "ann_pq_topk": (q_ann_pq_topk, _sql_ann_pq_topk()),
+    "ann_mrl_topk": (q_ann_mrl_topk, _sql_ann_mrl_topk()),
     "clip_align": (q_clip_align, _sql_clip_align()),
     "ann_lsh_pairs": (q_ann_lsh_pairs, _sql_ann_lsh_pairs()),
     "ivf_search": (q_ivf_search, _sql_ivf_search()),

@@ -331,3 +331,63 @@ def test_image_assemble_is_the_intersection(spark, sf_dir):
                geo4.q_geo_sample(spark, sf_dir).collect()}
     assert got == kept & sampled
     assert got  # non-degenerate fixture
+
+
+# --- ann_mrl_topk ---------------------------------------------------------------
+def test_mrl_recall_grows_with_candidate_width(spark, sf_dir):
+    """Staged retrieval semantics: the 16-dim prefix stage is genuinely
+    lossy on these untrained (uniform-random) embeddings — the worst case
+    for MRL — and recall vs exact top-5 must grow monotonically with the
+    candidate width, reaching 1.0 when the width covers the corpus.
+    Measured on sf0.001: 25→0.26, 50→0.44, 100→0.64, 200→0.85."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id").collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    from osm_merge_spark.queries.vectors import MRL_DIM, QUERY_MOD
+
+    p = x[:, :MRL_DIM]
+    pn = p / np.linalg.norm(p, axis=1, keepdims=True)
+
+    def recall(width):
+        out = []
+        for qi in np.where(ids % QUERY_MOD == 0)[0]:
+            ce = xn @ xn[qi]
+            ce[qi] = -9
+            exact5 = set(ids[np.argsort(-ce)[:5]])
+            pc = pn @ pn[qi]
+            pc[qi] = -9
+            cand = np.argsort(-pc)[:width]
+            c2 = xn[cand] @ xn[qi]
+            got5 = set(ids[cand[np.argsort(-c2)[:5]]])
+            out.append(len(exact5 & got5) / 5)
+        return float(np.mean(out))
+
+    r25, r100, rfull = recall(25), recall(100), recall(len(ids) - 1)
+    assert r25 >= 0.15
+    assert r100 > r25
+    assert rfull == 1.0
+
+
+def test_mrl_stage2_scores_are_exact(spark, sf_dir):
+    """Whatever stage 1 lets through, stage 2's cosine must equal the
+    brute-force cosine for those exact pairs."""
+    from osm_merge_spark.queries.vectors import q_ann_mrl_topk
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id").collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    idx = {v: i for i, v in enumerate(ids)}
+    for r in q_ann_mrl_topk(spark, sf_dir).collect():
+        want = float(xn[idx[r["qid"]]] @ xn[idx[r["nid"]]])
+        assert abs(r["cos"] - want) < 5e-7, (r["qid"], r["nid"])
