@@ -378,6 +378,54 @@ def _sql_value_quantiles() -> str:
 
 
 # ---------------------------------------------------------------------------
+# hll_users — deterministic HyperLogLog distinct-user estimate per type
+# (operators/sketches.py). The whole point vs distinct_users: the shuffle
+# carries ≤ 64 register rows per map task instead of every distinct user —
+# THE cardinality plan at 10^12 rows. Both the registers and the float
+# estimate itself are value-checked against the DuckDB mirror.
+# ---------------------------------------------------------------------------
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    df = _events(spark, sf_dir)
+    regs = (
+        df.select(
+            "event_type",
+            sketches.bucket(F.col("user_id")).alias("bucket"),
+            sketches.rho(F.col("user_id")).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("maxr"))
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bucket"), F.col("maxr")))
+        ).alias("regs")
+    )
+    return per_type.select(
+        "event_type",
+        sketches.estimate_from_registers(F.col("regs")).alias("est_e6"),
+        F.size("regs").alias("n_buckets"),
+    )
+
+
+def _sql_hll_users() -> str:
+    from ..operators import sketches
+
+    est = sketches.estimate_from_registers_sql("regs")
+    return (
+        f"WITH x AS (SELECT event_type, {sketches.bucket_sql('user_id')}"
+        f" AS bucket, {sketches.rho_sql('user_id')} AS rho FROM events), "
+        "h AS (SELECT event_type, bucket, max(rho) AS maxr FROM x"
+        " GROUP BY 1, 2), "
+        "r AS (SELECT event_type, list_sort(list(struct_pack("
+        "bucket := bucket, maxr := maxr))) AS regs FROM h GROUP BY 1) "
+        f"SELECT event_type, {est} AS est_e6,"
+        " CAST(len(regs) AS INT) AS n_buckets FROM r"
+    )
+
+
+# ---------------------------------------------------------------------------
 # events_cube — full CUBE over (event_type, hour-of-day): every subtotal
 # combination in ONE aggregation pass (Spark expands the grouping sets and
 # partially aggregates each map-side — at 10^12 rows the shuffle carries
@@ -409,6 +457,7 @@ def _sql_events_cube() -> str:
 QUERIES = {
     "events_rollup": (q_events_rollup, _sql_events_rollup()),
     "events_cube": (q_events_cube, _sql_events_cube()),
+    "hll_users": (q_hll_users, _sql_hll_users()),
     "asof_join": (q_asof_join, _sql_asof_join()),
     "value_quantiles": (q_value_quantiles, _sql_value_quantiles()),
     "merge_upsert": (q_merge_upsert, _sql_merge_upsert()),
