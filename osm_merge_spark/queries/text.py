@@ -261,6 +261,95 @@ def _sql_decontaminate() -> str:
     )
 
 
+# -- Bloom-filter decontamination ----------------------------------------------
+# q_decontaminate broadcasts the distinct eval shingles — exact, but at a
+# 10^9-shingle eval corpus the broadcast is gigabytes. The classic swap is a
+# Bloom filter: k=7 md5-salted positions in an m=2^14-bit space; a train
+# shingle is flagged when ALL k of its positions are set. Implemented
+# relationally (positions-present join + count==k) so the FP semantics are
+# EXACTLY a Bloom filter with this hash family while both engines stay in
+# hash joins — the position set is ≤ m rows no matter how large the eval
+# corpus grows, which is the entire point. False positives are deterministic
+# (same hashes both engines), so even they are value-checked by the oracle.
+# Fill here ≈ 24% → FP rate ≈ 0.24^7 ≈ 5e-5.
+BLOOM_K = 7
+BLOOM_M = 1 << 14
+
+
+def _bloom_pos(col: F.Column, salt: int) -> F.Column:
+    from ..functions import hashes
+
+    return (hashes.md5i(F.concat(F.lit(f"b{salt}:"), col), 12)
+            % F.lit(BLOOM_M)).cast("int")
+
+
+def _bloom_pos_sql(expr: str, salt: int) -> str:
+    from ..functions import hashes
+
+    h = hashes.md5i_sql(f"'b{salt}:' || {expr}", 12)
+    return f"CAST(({h}) % {BLOOM_M} AS INT)"
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % DECON_MOD == 0
+    ev_sh = (
+        dedup._doc_shingles(docs.filter(is_eval), "text", "doc_id", DECON_K)
+        .select("sh").distinct()
+    )
+    positions = (
+        ev_sh.select(
+            F.explode(F.array(*[
+                _bloom_pos(F.col("sh"), s) for s in range(BLOOM_K)
+            ])).alias("pos")
+        ).distinct()
+    )
+    tr_sh = dedup._doc_shingles(docs.filter(~is_eval), "text", "doc_id",
+                                DECON_K)
+    tr_pos = tr_sh.select(
+        "doc", "sh",
+        F.posexplode(F.array(*[
+            _bloom_pos(F.col("sh"), s) for s in range(BLOOM_K)
+        ])).alias("k", "pos"),
+    )
+    flagged = (
+        tr_pos.join(F.broadcast(positions), "pos")
+        .groupBy("doc", "sh")
+        .agg(F.count("*").alias("k_hits"))
+        .filter(F.col("k_hits") == BLOOM_K)
+    )
+    return (
+        flagged.groupBy("doc")
+        .agg(F.count("*").alias("n_flagged"))
+        .select(F.col("doc").alias("doc_id"), "n_flagged")
+    )
+
+
+def _sql_decontaminate_bloom() -> str:
+    ws = text.words_sql("text")
+    grams = text.shingles_sql("w", DECON_K)
+    ev_positions = " UNION ".join(
+        f"SELECT DISTINCT {_bloom_pos_sql('sh', s)} AS pos FROM ev"
+        for s in range(BLOOM_K)
+    )
+    tr_pos = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {_bloom_pos_sql('sh', s)} AS pos FROM tr"
+        for s in range(BLOOM_K)
+    )
+    return (
+        f"WITH wsx AS (SELECT doc_id, {ws} AS w FROM documents), "
+        f"shx AS (SELECT DISTINCT doc_id, unnest({grams}) AS sh FROM wsx), "
+        f"ev AS (SELECT DISTINCT sh FROM shx WHERE doc_id % {DECON_MOD} = 0), "
+        f"tr AS (SELECT doc_id, sh FROM shx WHERE doc_id % {DECON_MOD} != 0), "
+        f"pset AS (SELECT DISTINCT pos FROM ({ev_positions}) p), "
+        f"tp AS ({tr_pos}), "
+        "fl AS (SELECT doc_id, sh, count(*) AS k_hits FROM tp"
+        " JOIN pset USING (pos) GROUP BY doc_id, sh) "
+        "SELECT doc_id, count(*) AS n_flagged FROM fl"
+        f" WHERE k_hits = {BLOOM_K} GROUP BY doc_id"
+    )
+
+
 # -- deterministic stratified sampling ---------------------------------------
 # Per-language downsampling at fixed rates (the data-mixing step of corpus
 # assembly). Hash-threshold on md5 of the id: deterministic, reproducible,
@@ -563,6 +652,7 @@ QUERIES = {
     "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
     "cluster_split": (q_cluster_split, _sql_cluster_split()),
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
+    "decontaminate_bloom": (q_decontaminate_bloom, _sql_decontaminate_bloom()),
     "sample_stratified": (q_sample_stratified, _sql_sample_stratified()),
     "repetition_stats": (q_repetition_stats, _sql_repetition_stats()),
     "corpus_filter": (q_corpus_filter, _sql_corpus_filter()),

@@ -420,3 +420,39 @@ def test_hll_shuffle_carries_registers_not_users(spark, sf_dir):
         .executedPlan().toString()
     assert "partial_max" in plan
     assert "distinct" not in plan.lower()
+
+
+# --- decontaminate_bloom ----------------------------------------------------------
+def test_bloom_flags_superset_of_exact_with_tiny_fp(spark, sf_dir):
+    """Bloom membership can only ADD false positives: every exactly-hit
+    document must be flagged with n_flagged >= its exact n_hits, and the
+    extra flagged mass must stay tiny (fill^k ≈ 5e-5 here)."""
+    exact = {r["doc_id"]: r["n_hits"]
+             for r in text.q_decontaminate(spark, sf_dir).collect()}
+    bloom = {r["doc_id"]: r["n_flagged"]
+             for r in text.q_decontaminate_bloom(spark, sf_dir).collect()}
+    assert set(exact) <= set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n, d
+    extra_docs = set(bloom) - set(exact)
+    extra_shingles = (sum(bloom.values()) - sum(exact.values()))
+    total = sum(bloom.values())
+    assert extra_shingles <= max(2, 0.01 * total), (extra_docs,
+                                                    extra_shingles)
+
+
+def test_bloom_position_set_is_bounded(spark, sf_dir):
+    """The broadcast side is ≤ m positions regardless of eval-corpus size —
+    the entire point of the swap."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from osm_merge_spark.operators import dedup
+    from pyspark.sql import functions as FF
+
+    ev = dedup._doc_shingles(
+        docs.filter(FF.col("doc_id") % text.DECON_MOD == 0),
+        "text", "doc_id", text.DECON_K,
+    ).select("sh").distinct()
+    n_pos = ev.select(FF.explode(FF.array(*[
+        text._bloom_pos(FF.col("sh"), s) for s in range(text.BLOOM_K)
+    ])).alias("pos")).distinct().count()
+    assert n_pos <= text.BLOOM_M
