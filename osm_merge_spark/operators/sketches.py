@@ -1,4 +1,6 @@
-"""Deterministic, oracle-able cardinality sketch (HyperLogLog).
+"""Deterministic, oracle-able sketches: HyperLogLog (cardinality) and
+Count-Min (frequency); Bloom membership lives with its query in
+queries/text.py (q_decontaminate_bloom).
 
 Spark's approx_count_distinct and DuckDB's approx sketches are different
 algorithms with engine-private RNG/hash choices — useless for a value-hash
@@ -116,3 +118,25 @@ def estimate_from_registers_sql(regs: str) -> str:
         f" THEN {lc} ELSE {raw} END"
     )
     return f"CAST(floor({est} * {dlit(1.0e6)}) AS BIGINT)"
+
+
+# --- Count-Min sketch (frequency) ---------------------------------------------
+# Cormode & Muthukrishnan, J. Algorithms 2005. d=4 rows × w=1024 counters;
+# est(key) = min over rows of counter[row][pos(row, key)] — an upper bound
+# on the true count with overestimate ≤ 2N/w at ≥ 1-(1/2)^d probability.
+# Same portability story as the HLL above: md5-salted positions, so the
+# counter table and every estimate are bit-identical in DuckDB. The build
+# shuffles ≤ d·w counter rows per map task (map-side partial sums), never
+# the raw keys — frequency estimation at 10^12 rows for 32 KB of state.
+CMS_D = 4
+CMS_W = 1024
+
+
+def cms_pos(key: Column, row: int) -> Column:
+    return (hashes.md5i(F.concat(F.lit(f"c{row}:"), key.cast("string")), 12)
+            % F.lit(CMS_W)).cast("int")
+
+
+def cms_pos_sql(expr: str, row: int) -> str:
+    h = hashes.md5i_sql(f"'c{row}:' || CAST({expr} AS VARCHAR)", 12)
+    return f"CAST(({h}) % {CMS_W} AS INT)"

@@ -426,6 +426,74 @@ def _sql_hll_users() -> str:
 
 
 # ---------------------------------------------------------------------------
+# cms_user_counts — Count-Min frequency estimates (operators/sketches.py)
+# for a probe subset of users. The counter build is the only full-data
+# pass and its shuffle is ≤ d·w = 4096 partially-summed counter rows per
+# map task; the probe then reads 4 counters per user via a broadcast join.
+# Estimates are upper bounds; both the counters and the min-estimates are
+# bit-identical in the DuckDB oracle (md5-salted positions).
+# ---------------------------------------------------------------------------
+CMS_PROBE_MOD = 11
+
+
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    ev = _events(spark, sf_dir)
+    counters = (
+        ev.select(
+            F.posexplode(F.array(*[
+                sketches.cms_pos(F.col("user_id"), r)
+                for r in range(sketches.CMS_D)
+            ])).alias("r", "pos")
+        )
+        .groupBy("r", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = (
+        ev.select("user_id").distinct()
+        .filter(F.col("user_id") % CMS_PROBE_MOD == 0)
+        .select(
+            "user_id",
+            F.posexplode(F.array(*[
+                sketches.cms_pos(F.col("user_id"), r)
+                for r in range(sketches.CMS_D)
+            ])).alias("r", "pos"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(counters), ["r", "pos"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def _sql_cms_user_counts() -> str:
+    from ..operators import sketches
+
+    pos_rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS r,"
+        f" {sketches.cms_pos_sql('user_id', r)} AS pos FROM events"
+        for r in range(sketches.CMS_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT user_id, CAST({r} AS INT) AS r,"
+        f" {sketches.cms_pos_sql('user_id', r)} AS pos FROM u"
+        for r in range(sketches.CMS_D)
+    )
+    return (
+        f"WITH cpos AS ({pos_rows}), "
+        "counters AS (SELECT r, pos, count(*) AS cnt FROM cpos"
+        " GROUP BY 1, 2), "
+        "u AS (SELECT DISTINCT user_id FROM events"
+        f" WHERE user_id % {CMS_PROBE_MOD} = 0), "
+        f"probes AS ({probe_rows}) "
+        "SELECT user_id, min(cnt) AS est_count FROM probes"
+        " JOIN counters USING (r, pos) GROUP BY user_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # events_cube — full CUBE over (event_type, hour-of-day): every subtotal
 # combination in ONE aggregation pass (Spark expands the grouping sets and
 # partially aggregates each map-side — at 10^12 rows the shuffle carries
@@ -458,6 +526,7 @@ QUERIES = {
     "events_rollup": (q_events_rollup, _sql_events_rollup()),
     "events_cube": (q_events_cube, _sql_events_cube()),
     "hll_users": (q_hll_users, _sql_hll_users()),
+    "cms_user_counts": (q_cms_user_counts, _sql_cms_user_counts()),
     "asof_join": (q_asof_join, _sql_asof_join()),
     "value_quantiles": (q_value_quantiles, _sql_value_quantiles()),
     "merge_upsert": (q_merge_upsert, _sql_merge_upsert()),

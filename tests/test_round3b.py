@@ -456,3 +456,29 @@ def test_bloom_position_set_is_bounded(spark, sf_dir):
         text._bloom_pos(FF.col("sh"), s) for s in range(text.BLOOM_K)
     ])).alias("pos")).distinct().count()
     assert n_pos <= text.BLOOM_M
+
+
+# --- cms_user_counts ---------------------------------------------------------------
+def test_cms_estimates_are_tight_upper_bounds(spark, sf_dir):
+    """Count-Min guarantee: est >= true count always; overestimate ≤ 2N/w
+    with prob ≥ 1-2^-d — at this fixture's N and w=1024 the bound is loose
+    enough that est should be EXACT for nearly every probe."""
+    from osm_merge_spark.queries.relational import (CMS_PROBE_MOD,
+                                                    q_cms_user_counts)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.filter(F.col("user_id") % CMS_PROBE_MOD == 0)
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    est = {r["user_id"]: r["est_count"]
+           for r in q_cms_user_counts(spark, sf_dir).collect()}
+    assert set(est) == set(exact)
+    n_total = ev.count()
+    from osm_merge_spark.operators.sketches import CMS_W
+
+    bound = 2 * n_total / CMS_W
+    for u, n in exact.items():
+        assert est[u] >= n, u                      # never underestimates
+        assert est[u] <= n + max(bound, 1), u      # CM error bound
