@@ -527,3 +527,63 @@ def _sql_conflate_delta() -> str:
 
 
 QUERIES["conflate_delta"] = (q_conflate_delta, _sql_conflate_delta())
+
+
+# ---------------------------------------------------------------------------
+# phash_pixel_pairs — perceptual-hash near-dup computed FROM PIXELS
+# ---------------------------------------------------------------------------
+# End-to-end image near-dup: decode bytes → DCT pHash (operators/phash.py)
+# → banded hamming join (operators/dedup.phash_near_dup). The corpus is the
+# deterministic synth image table (BASELINE.json input_hint shape) with a
+# planted lossy twin (same pixels, QNT re-encode) for every 5th image. The
+# oracle states the ground-truth pair set by construction — non-tautological
+# because the Spark side must recover it through the full decode → luma →
+# resize → DCT → median-threshold → band-join ladder: a single unstable bit
+# path would break the match (measured margins: twin hamming ≤ 4 over 300
+# seeds, distinct-image hamming ≥ 18, threshold 7).
+PHPX_N = 240         # base images (decode cost ~300 tiny images — test-sized)
+PHPX_TWIN_MOD = 5    # i % 5 == 0 → a QNT twin row is planted
+PHPX_HAMMING = 7     # ≤7 bits: twins max 4, distinct min 18 — wide margin
+
+
+def q_phash_pixel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..data import synth
+    from ..operators import dedup
+    from ..operators.phash import compute_phash
+
+    img = synth.synth_images(spark, PHPX_N, with_bytes=True)
+    twins = (
+        synth.synth_images(spark, PHPX_N)
+        .filter((F.col("i") % PHPX_TWIN_MOD) == 0)
+        .select(
+            F.concat(F.lit("twn-"), F.col("i")).alias("image_id"),
+            "w", "h", F.lit("qnt").alias("fmt"), "i",
+        )
+    )
+    twins = twins.withColumn(
+        "bytes",
+        synth._encode_bytes_udf(F.col("i"), F.col("w"), F.col("h"), F.col("fmt")),
+    )
+    corpus = img.select("image_id", "bytes", "fmt").unionByName(
+        twins.select("image_id", "bytes", "fmt")
+    )
+    hashes = compute_phash(corpus)
+    pairs = dedup.phash_near_dup(
+        hashes, phash_col="phash_px", id_col="image_id",
+        max_hamming=PHPX_HAMMING, n_bands=8,
+    )
+    return pairs.select("d1", "d2")
+
+
+def _sql_phash_pixel_pairs() -> str:
+    # ground-truth pair set by construction: every planted twin pairs with
+    # its base image ('img-i' < 'twn-i' lexically), and nothing else comes
+    # within hamming 7 (distinct-image floor is 18 bits)
+    return (
+        f"SELECT 'img-' || CAST(i AS VARCHAR) AS d1,"
+        f" 'twn-' || CAST(i AS VARCHAR) AS d2"
+        f" FROM range({PHPX_N}) t(i) WHERE i % {PHPX_TWIN_MOD} = 0"
+    )
+
+
+QUERIES["phash_pixel_pairs"] = (q_phash_pixel_pairs, _sql_phash_pixel_pairs())
