@@ -535,3 +535,108 @@ QUERIES = {
     "top_orders": (q_top_orders, _sql_top_orders()),
     "distinct_users": (q_distinct_users, _sql_distinct_users()),
 }
+
+
+# -- binned quantile sketch (bounded state) -----------------------------------
+# The 100 TB swap for value_quantiles: the exact operator keeps one state row
+# per DISTINCT value (unbounded for continuous measures); this sketch keeps
+# exactly QS_BINS rows per group no matter the cardinality — the same
+# fixed-memory trade Bloom makes for decontaminate and CMS makes for counts.
+# Two passes: (1) per-group min/max/count (three scalars, broadcast back);
+# (2) fixed-width binning → one groupBy with ≤ QS_BINS rows of state per
+# group, window cumsum over those ≤ QS_BINS rows, then the smallest bin whose
+# cumulative count reaches p·n per probe. The estimate is the bin's upper
+# edge, so the error is one-sided and bounded by the bin width (emitted as
+# err_e6 — the sketch reports its own guarantee). All arithmetic is the same
+# double expression in both engines; outputs land through floor(x·1e6).
+QS_BINS = 256
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("*").alias("n"),
+    ).withColumn(
+        "wbin",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            (F.col("mx") - F.col("mn")) / F.lit(float(QS_BINS)),
+        ).otherwise(F.lit(1.0)),
+    )
+    binned = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type", "mn", "wbin", "n",
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / F.col("wbin")),
+            F.lit(QS_BINS - 1),
+        ).cast("long").alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "mn", "wbin", "n", "bin").agg(
+        F.count("*").alias("cnt")
+    )
+    word = Window.partitionBy("event_type").orderBy("bin")
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum").cast("double")
+                >= F.lit(q) * F.col("n").cast("double"),
+                F.col("bin"),
+            )
+        ).alias(f"b{int(q * 100)}")
+        for q in QUANTILES
+    ]
+    g = cum.groupBy("event_type", "mn", "wbin").agg(*aggs)
+    outs = [
+        F.floor(
+            (F.col("mn")
+             + (F.col(f"b{int(q * 100)}") + F.lit(1)).cast("double")
+             * F.col("wbin")) * F.lit(1.0e6)
+        ).cast("long").alias(f"p{int(q * 100)}_e6")
+        for q in QUANTILES
+    ]
+    return g.select(
+        "event_type", *outs,
+        F.floor(F.col("wbin") * F.lit(1.0e6)).cast("long").alias("err_e6"),
+    )
+
+
+def _sql_quantile_sketch() -> str:
+    mins = ", ".join(
+        f"min(CASE WHEN CAST(cum AS DOUBLE) >= {q} * CAST(n AS DOUBLE)"
+        f" THEN bin END) AS b{int(q * 100)}"
+        for q in QUANTILES
+    )
+    outs = ", ".join(
+        f"CAST(floor((mn + CAST(b{int(q * 100)} + 1 AS DOUBLE) * wbin)"
+        f" * 1.0e6) AS BIGINT) AS p{int(q * 100)}_e6"
+        for q in QUANTILES
+    )
+    return (
+        "WITH stats AS (SELECT event_type, min(value) AS mn, max(value) AS mx,"
+        " count(*) AS n,"
+        " CASE WHEN max(value) > min(value)"
+        f" THEN (max(value) - min(value)) / {float(QS_BINS)}"
+        " ELSE 1.0 END AS wbin"
+        " FROM events GROUP BY event_type), "
+        "binned AS (SELECT e.event_type, mn, wbin, n,"
+        f" least(CAST(floor((value - mn) / wbin) AS BIGINT), {QS_BINS - 1})"
+        " AS bin FROM events e JOIN stats USING (event_type)), "
+        "hist AS (SELECT event_type, mn, wbin, n, bin, count(*) AS cnt"
+        " FROM binned GROUP BY 1, 2, 3, 4, 5), "
+        "cum AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist), "
+        f"g AS (SELECT event_type, mn, wbin, {mins} FROM cum"
+        " GROUP BY event_type, mn, wbin) "
+        f"SELECT event_type, {outs},"
+        " CAST(floor(wbin * 1.0e6) AS BIGINT) AS err_e6 FROM g"
+    )
+
+
+QUERIES["quantile_sketch"] = (q_quantile_sketch, _sql_quantile_sketch())

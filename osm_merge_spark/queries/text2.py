@@ -355,3 +355,84 @@ QUERIES = {
     "phash_topk": (q_phash_topk, _sql_phash_topk()),
     "token_shards": (q_token_shards, _sql_token_shards()),
 }
+
+
+# -- unigram LM cross-entropy quality score -----------------------------------
+# The CCNet / Wenzek et al. 2020 quality signal: score each document by the
+# per-token cross-entropy under a unigram language model, keep the low-
+# perplexity "head". CCNet uses a pre-trained KenLM; the distributed analogue
+# here trains the unigram model on the corpus itself in pass 1 (token →
+# count / total) and scores in pass 2. 100 TB plan shape: ONE corpus explode
+# feeding (a) the vocab groupBy (map-side combine; vocab ≪ corpus) and (b)
+# the scoring join — the vocab rides a BROADCAST join so the token stream
+# never shuffles for scoring, and the per-doc reduce happens map-side (a
+# broadcast join preserves partitioning, so each doc's tokens are still
+# co-located from the pre-explode row). Numeric contract: each word's
+# log-prob is floored to integer nano-units BEFORE the per-doc sum, so the
+# aggregation is exact BIGINT arithmetic — order-independent, engine-exact
+# (the one transcendental, ln, is computed once per VOCAB word on identical
+# double inputs in both engines — the same parity contract tfidf_topterms
+# pins).
+CE_KEEP_E6 = 3_420_000  # keep docs with cross-entropy ≤ 3.42 nats/token
+# (median 3.4015 on the driver corpus — splits head from repetitive tail)
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = eval_once(
+        docs.withColumn("ws", text.words(F.col("text"))), ["ws"]
+    ).select("doc_id", F.explode("ws").alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("nt"))
+    vp = vocab.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("nt").cast("double"))
+            * F.lit(1.0e9)
+        ).cast("long").alias("logp_e9"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(vp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("logp_e9").alias("sum_e9"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor(
+            -F.col("sum_e9").cast("double")
+            / F.col("n_tokens").cast("double") / F.lit(1.0e3)
+        ).cast("long").alias("ce_e6"),
+        (
+            F.floor(
+                -F.col("sum_e9").cast("double")
+                / F.col("n_tokens").cast("double") / F.lit(1.0e3)
+            ).cast("long") <= F.lit(CE_KEEP_E6)
+        ).alias("keep"),
+    )
+
+
+def _sql_lm_quality() -> str:
+    ws = text.words_sql("text")
+    return (
+        f"WITH ws AS (SELECT doc_id, {ws} AS w FROM documents), "
+        "toks AS (SELECT doc_id, unnest(w) AS w FROM ws), "
+        "v AS (SELECT w, count(*) AS c FROM toks GROUP BY w), "
+        "tot AS (SELECT count(*) AS nt FROM toks), "
+        "vp AS (SELECT w, CAST(floor(ln(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))"
+        " * 1.0e9) AS BIGINT) AS logp_e9 FROM v CROSS JOIN tot), "
+        "s AS (SELECT doc_id, sum(logp_e9) AS sum_e9, count(*) AS n_tokens"
+        " FROM toks JOIN vp USING (w) GROUP BY doc_id) "
+        "SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,"
+        " CAST(floor(-CAST(sum_e9 AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+        " / 1.0e3) AS BIGINT) AS ce_e6,"
+        " CAST(floor(-CAST(sum_e9 AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+        f" / 1.0e3) AS BIGINT) <= {CE_KEEP_E6} AS keep"
+        " FROM s"
+    )
+
+
+QUERIES["lm_quality"] = (q_lm_quality, _sql_lm_quality())

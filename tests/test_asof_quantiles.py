@@ -66,3 +66,45 @@ def test_value_quantiles_match_numpy(spark, sf_dir):
         for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
             want = float(np.percentile(arr, q * 100, method="linear"))
             assert abs(out[et][col] - want) < 1e-5, (et, col, out[et][col], want)
+
+
+def test_quantile_sketch_within_bin_width_of_exact(spark, sf_dir):
+    """The sketch's own guarantee: each estimate is within err (one bin
+    width) ABOVE the exact rank statistic, and never below it."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_type", "value").toPandas()
+    got = {r["event_type"]: r for r in
+           relational.q_quantile_sketch(spark, sf_dir).collect()}
+    for etype, grp in ev.groupby("event_type"):
+        vals = np.sort(grp["value"].to_numpy())
+        n = len(vals)
+        row = got[etype]
+        err = row["err_e6"] / 1e6
+        for q in relational.QUANTILES:
+            # exact lower rank statistic: smallest v with rank count >= q*n
+            exact = vals[min(int(np.ceil(q * n)) - 1, n - 1)]
+            est = row[f"p{int(q * 100)}_e6"] / 1e6
+            assert exact - 1e-6 <= est <= exact + err + 2e-6, (
+                etype, q, exact, est, err)
+
+
+def test_quantile_sketch_state_is_bounded(spark, sf_dir):
+    """≤ QS_BINS histogram rows per group regardless of value cardinality —
+    the property that lets the sketch replace value_quantiles at 100 TB."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"))
+    wbin = (F.col("mx") - F.col("mn")) / F.lit(float(relational.QS_BINS))
+    hist_rows = (
+        ev.join(F.broadcast(stats.withColumn("wbin", wbin)), "event_type")
+        .select("event_type", F.least(
+            F.floor((F.col("value") - F.col("mn")) / F.col("wbin")),
+            F.lit(relational.QS_BINS - 1)).alias("bin"))
+        .groupBy("event_type", "bin").count()
+        .groupBy("event_type").count().collect()
+    )
+    n_distinct = ev.select("value").distinct().count()
+    assert all(r["count"] <= relational.QS_BINS for r in hist_rows)
+    assert n_distinct > relational.QS_BINS  # the bound actually binds here

@@ -144,3 +144,36 @@ def test_tfidf_matches_brute_force(spark, sf_dir):
         got.setdefault(r["doc_id"], []).append((r["term"], r["score_e6"]))
     # top_k_agg emits in (neg_score, term) order already
     assert got == {k: v for k, v in expect.items() if v}
+
+
+def test_lm_quality_matches_brute_force(spark, tmp_path):
+    """Tiny planted corpus: per-token unigram cross-entropy computed by an
+    independent plain-Python pass must equal the distributed two-pass plan."""
+    import math
+    from collections import Counter
+
+    rows = [
+        ("d1", "the cat sat on the mat"),       # common words → low CE
+        ("d2", "the the the the"),              # most frequent only → lowest
+        ("d3", "zyx qwv zyx plugh"),            # rare words → high CE
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id string, text string") \
+        .write.parquet(f"{sf}/documents.parquet")
+
+    toks = {d: [w for w in t.lower().split() if w] for d, t in rows}
+    corpus = Counter(w for ws in toks.values() for w in ws)
+    n_total = sum(corpus.values())
+    expect = {}
+    for d, ws in toks.items():
+        sum_e9 = sum(math.floor(math.log(corpus[w] / n_total) * 1e9) for w in ws)
+        ce_e6 = math.floor(-sum_e9 / len(ws) / 1e3)
+        expect[d] = (len(ws), ce_e6, ce_e6 <= text2.CE_KEEP_E6)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ce_e6"], r["keep"])
+        for r in text2.q_lm_quality(spark, sf).collect()
+    }
+    assert got == expect
+    # orders as intended: repetition < mixed < rare
+    assert got["d2"][1] < got["d1"][1] < got["d3"][1]
