@@ -412,3 +412,95 @@ QUERIES = {
     "ivf_search": (q_ivf_search, _sql_ivf_search()),
     "dedup_embedding": (q_dedup_embedding, _sql_dedup_embedding()),
 }
+
+
+# -- SemDeDup (semantic deduplication, Abbas et al. 2023) ---------------------
+# The web-scale semantic-dedup recipe: k-means-partition the embedding space,
+# call within-cluster pairs with cosine ≥ τ semantic duplicates, and keep one
+# member per duplicate pair — the paper keeps the example LESS similar to its
+# cluster centroid (preserves the "edge" of the distribution), dropping the
+# redundant center-mass copy. 100 TB shape: assignment is a PURE PROJECTION
+# (k×dim centroid floats collected once to the driver — the ivf_train
+# pattern — and inlined as Catalyst literals, so the corpus never shuffles to
+# get a cluster id), and the quadratic refine is confined within clusters; at
+# 10^12 rows k grows ~√N so per-cluster pair work stays bounded (the paper
+# runs k=50k over 5B examples). Centroids here are the SEM_K lowest-vec_id
+# embeddings (deterministic seeding, fully SQL-reproducible — no iteration,
+# so the oracle can rebuild the identical partition from the data alone).
+SEM_K = 8
+SEM_TAU = 0.3  # within-cluster cos ≥ τ ⇒ semantic duplicates (~2% of pairs)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cents = sorted(
+        emb.orderBy("vec_id").limit(SEM_K).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    coss = F.array(*[
+        similarity.cosine(
+            F.col("embedding"),
+            F.array(*[F.lit(float(v)) for v in c["embedding"]]),
+        )
+        for c in cents
+    ])
+    cids = F.array(*[F.lit(int(c["vec_id"])) for c in cents])
+    pos = F.array_position(coss, F.array_max(coss))  # 1-based, tie → lowest
+    assigned = emb.select(
+        "vec_id", "embedding",
+        F.element_at(cids, pos.cast("int")).alias("cluster"),
+        F.element_at(coss, pos.cast("int")).alias("c2c"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(b, on=(F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(
+            similarity.cosine(F.col("a.embedding"), F.col("b.embedding"))
+            >= F.lit(SEM_TAU)
+        )
+    )
+    dropped = pairs.select(
+        F.when(
+            F.struct(F.col("a.c2c"), F.col("a.vec_id"))
+            > F.struct(F.col("b.c2c"), F.col("b.vec_id")),
+            F.col("a.vec_id"),
+        ).otherwise(F.col("b.vec_id")).alias("vec_id")
+    ).distinct()
+    return (
+        assigned.join(dropped.withColumn("is_dropped", F.lit(True)),
+                      "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def _sql_semdedup() -> str:
+    from ..functions.geo import dlit
+
+    cos_c = similarity.cosine_sql("e.embedding", "c.cemb", DIM)
+    cos_p = similarity.cosine_sql("x.embedding", "y.embedding", DIM)
+    return (
+        "WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings"
+        f" ORDER BY vec_id LIMIT {SEM_K}), "
+        "s AS (SELECT e.vec_id, e.embedding, cid,"
+        f" {cos_c} AS cos FROM embeddings e CROSS JOIN c), "
+        "assign AS (SELECT vec_id, embedding, cid AS cluster, cos AS c2c"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY cos DESC, cid ASC) AS rn FROM s) t WHERE rn = 1), "
+        "p AS (SELECT x.vec_id AS v1, x.c2c AS c1, y.vec_id AS v2, y.c2c AS c2"
+        " FROM assign x JOIN assign y ON x.cluster = y.cluster"
+        f" AND x.vec_id < y.vec_id WHERE {cos_p} >= {dlit(SEM_TAU)}), "
+        "d AS (SELECT DISTINCT CASE WHEN (c1, v1) > (c2, v2)"
+        " THEN v1 ELSE v2 END AS vec_id FROM p) "
+        "SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,"
+        " d.vec_id IS NULL AS keep"
+        " FROM assign a LEFT JOIN d ON a.vec_id = d.vec_id"
+    )
+
+
+QUERIES["semdedup"] = (q_semdedup, _sql_semdedup())

@@ -1,0 +1,50 @@
+"""SemDeDup (queries/vectors.q_semdedup) vs an independent NumPy pass."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from osm_merge_spark.queries import vectors
+
+
+def _numpy_semdedup(ids: np.ndarray, X: np.ndarray):
+    """Independent reimplementation: argmax-cosine assignment to the SEM_K
+    lowest-id centroids, within-cluster pairwise cosine ≥ τ, drop the pair
+    member with the larger (cos-to-centroid, id) key."""
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, Xn = ids[order], Xn[order]
+    C = Xn[: vectors.SEM_K]
+    cid_vals = ids[: vectors.SEM_K]
+    sims = Xn @ C.T
+    assign = sims.argmax(axis=1)  # first max = lowest centroid index
+    c2c = sims[np.arange(len(ids)), assign]
+    dropped = set()
+    for c in range(vectors.SEM_K):
+        idx = np.where(assign == c)[0]
+        S = Xn[idx] @ Xn[idx].T
+        for ai in range(len(idx)):
+            for bi in range(ai + 1, len(idx)):
+                if S[ai, bi] >= vectors.SEM_TAU:
+                    x, y = idx[ai], idx[bi]
+                    loser = x if (c2c[x], ids[x]) > (c2c[y], ids[y]) else y
+                    dropped.add(int(ids[loser]))
+    return {int(i): (int(cid_vals[a]), int(i) not in dropped)
+            for i, a in zip(ids, assign)}
+
+
+def test_semdedup_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    want = _numpy_semdedup(ids, X)
+
+    got = {r["vec_id"]: (r["cluster"], r["keep"])
+           for r in vectors.q_semdedup(spark, sf_dir).collect()}
+    assert len(got) == len(want)
+    # cluster assignment must agree exactly; keep flags may differ only at
+    # float tie boundaries, which don't occur in this data — require equality
+    assert got == want
+    # the rule actually fires: some rows dropped, most kept
+    n_drop = sum(1 for _, k in got.values() if not k)
+    assert 0 < n_drop < len(got) // 2
