@@ -640,3 +640,73 @@ def _sql_quantile_sketch() -> str:
 
 
 QUERIES["quantile_sketch"] = (q_quantile_sketch, _sql_quantile_sketch())
+
+
+# -- interval overlap join (range join via bin-split) -------------------------
+# The classic range join Spark lacks natively: intervals (purchase
+# attribution windows [ts, ts + 20·value seconds]) × points (click events),
+# count clicks inside each window. A naive theta-join is O(N·M); the
+# distributed form splits each INTERVAL into the fixed-width time bins it
+# covers (sequence + explode — O(1) bins per interval when the bin width is
+# sized to the typical interval) and equi-joins on the bin key. Each POINT
+# occupies exactly one bin, so every qualifying (interval, point) pair meets
+# exactly ONCE — no post-join dedup pass. All time arithmetic is integer
+# microseconds (unix_micros/epoch_us), so the refine predicate is exact in
+# both engines; the oracle computes the same answer from the plain
+# inequality join. Zero-click windows are preserved via the left join back.
+IVJ_BIN_US = 3_600_000_000  # 1 h bins ≈ the median window length
+IVJ_SCALE = 20              # window length = 20·value seconds (≈ minutes–2 h)
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("iv_id"),
+        _epoch_us().alias("t0"),
+        (
+            _epoch_us()
+            + F.floor(F.col("value") * F.lit(float(IVJ_SCALE))).cast("long")
+            * F.lit(1_000_000)
+        ).alias("t1"),
+    )
+    ivb = iv.select(
+        "iv_id", "t0", "t1",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("t0") / F.lit(IVJ_BIN_US)),
+                F.floor(F.col("t1") / F.lit(IVJ_BIN_US)),
+            )
+        ).alias("bin"),
+    )
+    pts = ev.filter(F.col("event_type") == "click").select(
+        _epoch_us().alias("cu"),
+        F.floor(_epoch_us() / F.lit(IVJ_BIN_US)).alias("bin"),
+    )
+    hits = (
+        ivb.join(pts, "bin")
+        .filter((F.col("cu") >= F.col("t0")) & (F.col("cu") <= F.col("t1")))
+        .groupBy("iv_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    return iv.join(hits, "iv_id", "left").select(
+        "iv_id",
+        F.coalesce(F.col("n_clicks"), F.lit(0)).cast("int").alias("n_clicks"),
+    )
+
+
+def _sql_interval_join() -> str:
+    return (
+        "WITH iv AS (SELECT event_id AS iv_id, epoch_us(ts) AS t0,"
+        f" epoch_us(ts) + CAST(floor(value * {float(IVJ_SCALE)}) AS BIGINT)"
+        " * 1000000 AS t1"
+        " FROM events WHERE event_type = 'purchase'), "
+        "pts AS (SELECT epoch_us(ts) AS cu FROM events"
+        " WHERE event_type = 'click'), "
+        "hits AS (SELECT iv_id, count(*) AS n_clicks FROM iv JOIN pts"
+        " ON cu >= t0 AND cu <= t1 GROUP BY iv_id) "
+        "SELECT iv.iv_id, CAST(coalesce(n_clicks, 0) AS INT) AS n_clicks"
+        " FROM iv LEFT JOIN hits ON iv.iv_id = hits.iv_id"
+    )
+
+
+QUERIES["interval_join"] = (q_interval_join, _sql_interval_join())

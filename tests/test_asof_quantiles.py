@@ -108,3 +108,29 @@ def test_quantile_sketch_state_is_bounded(spark, sf_dir):
     n_distinct = ev.select("value").distinct().count()
     assert all(r["count"] <= relational.QS_BINS for r in hist_rows)
     assert n_distinct > relational.QS_BINS  # the bound actually binds here
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The bin-split makes the range join an equi-join: no
+    BroadcastNestedLoopJoin / CartesianProduct may appear in the plan."""
+    df = relational.q_interval_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+
+    # candidate completeness at the bin boundary: totals match a driver-side
+    # brute force over the raw micros
+    import pandas as pd
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    us = (ev["ts"] - pd.Timestamp("1970-01-01")) // pd.Timedelta(microseconds=1)
+    pur = ev[ev["event_type"] == "purchase"]
+    t0 = us[pur.index]
+    t1 = t0 + (pur["value"] * relational.IVJ_SCALE).apply(
+        lambda v: int(v // 1)) * 1_000_000
+    clicks = us[ev[ev["event_type"] == "click"].index].to_numpy()
+    want = {
+        int(eid): int(((clicks >= a) & (clicks <= b)).sum())
+        for eid, a, b in zip(pur["event_id"], t0, t1)
+    }
+    got = {r["iv_id"]: r["n_clicks"] for r in df.collect()}
+    assert got == want
