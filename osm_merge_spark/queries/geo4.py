@@ -587,3 +587,77 @@ def _sql_phash_pixel_pairs() -> str:
 
 
 QUERIES["phash_pixel_pairs"] = (q_phash_pixel_pairs, _sql_phash_pixel_pairs())
+
+
+# ---------------------------------------------------------------------------
+# image_shards — WebDataset-style byte-budgeted shard assignment
+# ---------------------------------------------------------------------------
+# Vision-training corpora ship as fixed-size shard archives (WebDataset tar /
+# TFRecord); the packing step assigns each image a (shard, offset) by running
+# byte cumsum in a DEFINED order. Packing in z-order makes shards spatially
+# coherent — an epoch that streams shard k reads one compact region, and
+# nearby images (likely near-dups / same scene) land in the same shard where
+# in-shard dedup can see them. Scale shape: the cumsum window is PARTITIONED
+# by a coarse z-order prefix (bounded rows per partition — never the global
+# single-partition window), so shard ids are (prefix, local_shard) pairs —
+# the same skew-safe construction as token_shards' per-language offsets. The
+# byte size is the decoded-size proxy w·h·3 + a fixed header (the planner
+# packs on decoded budget; true encoded sizes arrive only after the encode
+# stage). Integer arithmetic end-to-end.
+SHARD_BUDGET = 256 * 1024 * 1024  # 256 MiB decoded bytes per shard
+ZPREFIX_SHIFT = 24                # top 8 bits of the 32-bit zkey → ≤256 tiles
+IMG_HEADER = 64
+
+
+def q_image_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import zorder
+    from .geo import _Z_LAT, _Z_LON
+
+    img = base.images_df(spark, sf_dir)
+    w, h = _dims(F.col("ikey"))
+    df = img.select(
+        "image_id",
+        zorder.zorder_key(F.col("lon"), F.col("lat"), _Z_LON, _Z_LAT)
+        .alias("zkey"),
+        (w.cast("long") * h.cast("long") * F.lit(3) + F.lit(IMG_HEADER))
+        .alias("nbytes"),
+    ).withColumn("prefix", F.shiftright(F.col("zkey"), ZPREFIX_SHIFT))
+    win = Window.partitionBy("prefix").orderBy("zkey", "image_id")
+    cum = df.withColumn(
+        "cum_end",
+        F.sum("nbytes").over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("offset", F.col("cum_end") - F.col("nbytes"))
+    return cum.select(
+        "image_id", "prefix",
+        F.floor(F.col("offset") / F.lit(SHARD_BUDGET)).cast("long")
+        .alias("shard_id"),
+        (F.col("offset") % F.lit(SHARD_BUDGET)).alias("offset"),
+        "nbytes",
+    )
+
+
+def _sql_image_shards() -> str:
+    from ..functions import zorder
+    from .geo import _Z_LAT, _Z_LON
+
+    zk = zorder.zorder_key_sql("lon", "lat", _Z_LON, _Z_LAT)
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"m AS (SELECT image_id, {zk} AS zkey,"
+        f" CAST({_W_SQL} AS BIGINT) * CAST({_H_SQL} AS BIGINT) * 3"
+        f" + {IMG_HEADER} AS nbytes FROM img), "
+        f"p AS (SELECT *, zkey >> {ZPREFIX_SHIFT} AS prefix FROM m), "
+        "c AS (SELECT *, sum(nbytes) OVER (PARTITION BY prefix"
+        " ORDER BY zkey, image_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " CURRENT ROW) - nbytes AS off FROM p) "
+        "SELECT image_id, prefix,"
+        f" CAST(floor(off / {SHARD_BUDGET}) AS BIGINT) AS shard_id,"
+        f" CAST(off % {SHARD_BUDGET} AS BIGINT) AS offset, nbytes FROM c"
+    )
+
+
+QUERIES["image_shards"] = (q_image_shards, _sql_image_shards())
