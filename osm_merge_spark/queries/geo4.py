@@ -661,3 +661,66 @@ def _sql_image_shards() -> str:
 
 
 QUERIES["image_shards"] = (q_image_shards, _sql_image_shards())
+
+
+# ---------------------------------------------------------------------------
+# image_dedup_assemble — the corpus capstone with the near-dup pass fused in
+# ---------------------------------------------------------------------------
+# image_assemble (LAION gate ∩ geo-stratified cap) plus the image pipeline's
+# missing third leg: perceptual-hash near-dup removal. The phash here is the
+# metadata-column form (derived deterministically from caption+part so the
+# oracle reproduces it; the pixel-derived path is phash_pixel_pairs /
+# operators/phash.py) with a ≤3-bit perturbation per copy — exactly the
+# banded-hamming regime dedup.phash_near_dup guarantees exact recall for.
+# Keep rule: lower ikey wins each pair; near-dup families are cliques here
+# (same caption+part ⇒ pairwise ≤3 bits apart), so the pairwise rule keeps
+# exactly the family minimum — one representative per family (for chain
+# topologies use dedup_cluster's connected components instead). Scale shape:
+# the dedup leg is the banded equi-join (never all-pairs), the drop set
+# joins back as a broadcast-able anti-join on ikey, and the three legs fuse
+# into ONE lazy plan over the shared cached images_df scan.
+def q_image_dedup_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import hashes
+    from ..operators import dedup
+
+    img = base.images_df(spark, sf_dir)
+    pert = F.expr("shiftleft(1L, CAST(ikey % 4 AS INT)) - 1L")
+    ph = img.select(
+        "ikey",
+        hashes.md5i(
+            F.concat(F.col("caption"), F.lit("|"), F.col("src_part")), 15
+        ).bitwiseXOR(pert).alias("phash"),
+    )
+    pairs = dedup.phash_near_dup(ph, phash_col="phash", id_col="ikey")
+    dropped = pairs.select(F.col("d2").alias("ikey")).distinct()
+    asm = q_image_assemble(spark, sf_dir)
+    return (
+        asm.join(img.select("image_id", "ikey"), "image_id")
+        .join(dropped, "ikey", "left_anti")
+        .select("image_id", "tile_id", "w", "h")
+    )
+
+
+def _sql_image_dedup_assemble() -> str:
+    from ..functions import hashes
+    from ..operators import dedup
+
+    key_sql = "caption || '|' || CAST(src_part AS VARCHAR)"
+    ph_expr = (
+        f"xor({hashes.md5i_sql(key_sql, 15)}, (1 << (ikey % 4)) - 1)"
+    )
+    pairs = dedup.phash_near_dup_sql("img", ph_expr, id_col="ikey")
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"drp AS (SELECT DISTINCT d2 AS ikey FROM ({pairs}) p) "
+        f"SELECT a.image_id, a.tile_id, a.w, a.h"
+        f" FROM ({_sql_image_assemble()}) a"
+        " JOIN img ON a.image_id = img.image_id"
+        " LEFT JOIN drp ON img.ikey = drp.ikey"
+        " WHERE drp.ikey IS NULL"
+    )
+
+
+QUERIES["image_dedup_assemble"] = (
+    q_image_dedup_assemble, _sql_image_dedup_assemble()
+)

@@ -149,3 +149,32 @@ def test_conflate_delta_prunes_layer(spark, sf_dir):
     got = sorted(map(tuple, out.collect()))
     exp = sorted(map(tuple, best.collect()))
     assert got == exp and len(got) > 0
+
+
+def test_image_dedup_keeps_one_per_family(spark, sf_dir):
+    """Near-dup families are (caption, src_part) cliques; after the dedup
+    leg, at most ONE member of each family may survive, and it must be the
+    family's minimum ikey among assemble-surviving rows — unless the family
+    min was itself dropped by an earlier gate (then nothing survives: the
+    dedup drop-set is computed corpus-wide, like a real pipeline's)."""
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries import base, geo4
+
+    out = geo4.q_image_dedup_assemble(spark, sf_dir)
+    img = base.images_df(spark, sf_dir).select(
+        "image_id", "ikey", "caption", "src_part")
+    fam = out.join(img, "image_id").groupBy("caption", "src_part").agg(
+        F.count("*").alias("n"), F.min("ikey").alias("min_kept"))
+    rows = fam.collect()
+    assert rows, "capstone returned nothing"
+    assert all(r["n"] == 1 for r in rows), [r for r in rows if r["n"] > 1][:3]
+    # the survivor is the corpus-wide family minimum
+    fam_min = img.groupBy("caption", "src_part").agg(
+        F.min("ikey").alias("fam_min"))
+    bad = (
+        fam.join(fam_min, ["caption", "src_part"])
+        .filter(F.col("min_kept") != F.col("fam_min"))
+        .count()
+    )
+    assert bad == 0
