@@ -241,6 +241,23 @@ def minhash_lsh_sql(table: str = "documents", text_col: str = "text",
 PHASH_BITS = 64
 
 
+def phash_band_keys(ph: Column, n_bands: int) -> Column:
+    """The banded hamming-LSH key array: n_bands disjoint chunks of the
+    64-bit hash, each offset by its band index so identical chunk VALUES in
+    different bands never collide. Shared by the batch pair join and the
+    streaming seen-bucket table."""
+    assert PHASH_BITS % n_bands == 0, "bands must tile the 64-bit hash"
+    bb = PHASH_BITS // n_bands
+    mask = (1 << bb) - 1
+    return F.array(
+        *[
+            F.shiftright(ph, b * bb).bitwiseAND(F.lit(mask))
+            + F.lit(b << bb)
+            for b in range(n_bands)
+        ]
+    )
+
+
 def phash_near_dup(df: DataFrame, phash_col: str = "phash",
                    id_col: str = "doc_id",
                    max_hamming: int = 3,
@@ -262,17 +279,8 @@ def phash_near_dup(df: DataFrame, phash_col: str = "phash",
     distinct (d1, d2, hamming) with d1 < d2.
     """
     n_bands = n_bands if n_bands is not None else max_hamming + 1
-    assert PHASH_BITS % n_bands == 0, "bands must tile the 64-bit hash"
-    bb = PHASH_BITS // n_bands
-    mask = (1 << bb) - 1
     ph = F.col(phash_col)
-    bands = F.array(
-        *[
-            F.shiftright(ph, b * bb).bitwiseAND(F.lit(mask))
-            + F.lit(b << bb)  # band index disambiguates identical chunks
-            for b in range(n_bands)
-        ]
-    )
+    bands = phash_band_keys(ph, n_bands)
     e = df.select(
         F.col(id_col).alias("doc"), ph.alias("ph"), F.explode(bands).alias("bk")
     )

@@ -201,3 +201,80 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def phash_dedup_stream(images_stream: DataFrame, seen_dir: str, out_dir: str,
+                       checkpoint_dir: str, max_hamming: int = 7,
+                       n_bands: int = 8):
+    """Streaming image NEAR-dup at ingest: decode → pixel pHash → banded
+    hamming dedup across micro-batches — the streaming twin of
+    `phash_pixel_pairs`' batch ladder.
+
+    Exact-key streaming dedup (dedup_stream) can't express "within hamming
+    k of anything seen": the state is not one boolean per key but the set
+    of all prior hashes REACHABLE by a band collision. That state lives as
+    a TABLE (seen_dir: (bk, phash, image_id) rows partitioned per batch),
+    not in the executor state store — at 10^12 images the band table is a
+    bucketed lake table; a state-store copy would pin terabytes of state to
+    executors and die on rescale. foreachBatch per micro-batch:
+
+      1. pixel pHash (operators/phash.compute_phash — Arrow-batched);
+      2. intra-batch dedup: banded pair join, lexical-min image_id wins;
+      3. cross-batch dedup: explode band keys, equi-join the seen table,
+         refine with exact bit_count ≤ k (recall is exact for ≤ k bits by
+         the pigeonhole guarantee — both joins share phash_band_keys);
+      4. survivors append their band rows to seen_dir and their
+         (image_id, phash) to out_dir — both written to batch=N paths in
+         overwrite mode, so a replayed micro-batch after crash/restart is
+         IDEMPOTENT (the checkpoint replays the batch, the paths clobber).
+
+    The reference has no streaming or image hashing; this is the
+    training-data ingest path for the BASELINE.json image contract.
+    """
+    from ..operators.dedup import phash_band_keys, phash_near_dup
+    from ..operators.phash import compute_phash
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        h = compute_phash(batch_df).filter(F.col("phash_px").isNotNull())
+        # intra-batch: min-id survivor per near-dup pair
+        pairs = phash_near_dup(
+            h, phash_col="phash_px", id_col="image_id",
+            max_hamming=max_hamming, n_bands=n_bands,
+        )
+        h = h.join(
+            pairs.select(F.col("d2").alias("image_id")).distinct(),
+            "image_id", "left_anti",
+        )
+        # cross-batch: anything within k bits of a seen hash is a dup
+        bands = h.select(
+            "image_id", "phash_px",
+            F.explode(
+                phash_band_keys(F.col("phash_px"), n_bands)
+            ).alias("bk"),
+        )
+        try:
+            seen = spark.read.parquet(seen_dir)
+            dup_ids = (
+                bands.join(seen.select("bk", F.col("phash").alias("sph")),
+                           "bk")
+                .filter(
+                    F.bit_count(F.col("phash_px").bitwiseXOR(F.col("sph")))
+                    <= F.lit(max_hamming)
+                )
+                .select("image_id").distinct()
+            )
+            h = h.join(dup_ids, "image_id", "left_anti")
+            bands = bands.join(dup_ids, "image_id", "left_anti")
+        except Exception:
+            pass  # first batch: no seen table yet
+        bands.select("bk", F.col("phash_px").alias("phash"), "image_id") \
+            .write.mode("overwrite").parquet(f"{seen_dir}/batch={batch_id}")
+        h.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return (
+        images_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -185,3 +185,50 @@ def test_dedup_stream_state_ttl_reemits_expired_keys(spark, tmp_path):
         assert emitted() == ["A", "A", "B", "B", "C"]
     finally:
         q.stop()
+
+
+def test_phash_dedup_stream_suppresses_cross_batch_near_dups(spark, tmp_path):
+    """Streaming pixel-pHash near-dup: batch 1 carries originals (png);
+    batch 2 carries QNT re-encodes of half of them (near-dups, hamming ≤ 7)
+    plus genuinely new images. The lossy twins must be suppressed by the
+    persisted band table; the new images must survive. Within batch 1 a
+    planted intra-batch twin must also collapse to one survivor."""
+    from osm_merge_spark.data import images as codec
+
+    schema = "image_id string, bytes binary, fmt string"
+
+    def rows_png(seeds, prefix):
+        return [(f"{prefix}-{s}", codec.encode(codec.pixels_for_seed(s, 16, 16), "png"), "png")
+                for s in seeds]
+
+    def rows_qnt(seeds, prefix):
+        return [(f"{prefix}-{s}", codec.encode(codec.pixels_for_seed(s, 16, 16), "qnt"), "qnt")
+                for s in seeds]
+
+    src = str(tmp_path / "imgs")
+    # batch 1: seeds 0..9 as png, plus an intra-batch twin of seed 0 (qnt)
+    b1 = rows_png(range(10), "a") + rows_qnt([0], "zz")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    # batch 2: qnt twins of seeds 0..4 (cross-batch dups) + new seeds 100..104
+    b2 = rows_qnt(range(5), "b") + rows_png(range(100, 105), "b")
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = jobs.chunked_ingest(
+        spark, src, spark.createDataFrame(b1, schema).schema,
+        max_files_per_trigger=1,
+    )
+    q = jobs.phash_dedup_stream(
+        stream, str(tmp_path / "seen"), str(tmp_path / "out"),
+        str(tmp_path / "ck_ph"),
+    )
+    q.awaitTermination(120)
+    got = {r.image_id for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+
+    # batch-1 originals all survive; the intra-batch twin zz-0 lost to a-0
+    assert {f"a-{s}" for s in range(10)} <= got
+    assert "zz-0" not in got
+    # batch-2 lossy twins suppressed by the seen table; new images survive
+    assert not any(f"b-{s}" in got for s in range(5))
+    assert {f"b-{s}" for s in range(100, 105)} <= got
+    assert len(got) == 15
