@@ -724,3 +724,113 @@ def _sql_image_dedup_assemble() -> str:
 QUERIES["image_dedup_assemble"] = (
     q_image_dedup_assemble, _sql_image_dedup_assemble()
 )
+
+
+# ---------------------------------------------------------------------------
+# snap_points — map matching: project each point onto its nearest way segment
+# ---------------------------------------------------------------------------
+# The GPS-trace → road-network snap (map matching's geometric core): for
+# every image point, the closest point ON the closest way segment — way id,
+# segment index, parametric position t, snapped coordinates, distance. The
+# reference stops at point-to-way DISTANCE (A1/seg_explode_min,
+# conflator.py's shapely `distance`); snapping also returns WHERE on the way
+# the point lands, which is what turns a conflation candidate into a
+# geometry edit. Geometry runs in equirectangular meters (lon pre-scaled by
+# cos(AOI center lat) so x and y are commensurate — plain degree space would
+# bias the argmin toward north-south segments by ~38% at this latitude).
+# Scale shape: the way table broadcasts (layer ≪ corpus, the J2 pattern) and
+# the corpus never shuffles — one projection + one map-side argmin groupBy;
+# for layers too large to broadcast the cell-ring candidate join
+# (operators/cell_join) replaces the broadcast, same refine expressions.
+SNAP_LAT0_COS = 0.7229569579100136  # cos(43.7° · π/180) — AOI center
+_M_PER_DEG = 111_320.0
+
+
+def q_snap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir)
+    ways = base.ways_df(spark, sf_dir)
+    segs = ways.select(
+        "way_id", "xs", "ys",
+        F.explode(F.sequence(F.lit(1), F.size("xs") - 1)).alias("k"),
+    ).select(
+        "way_id", "k",
+        F.element_at("xs", F.col("k")).alias("ax"),
+        F.element_at("ys", F.col("k")).alias("ay"),
+        F.element_at("xs", F.col("k") + 1).alias("bx"),
+        F.element_at("ys", F.col("k") + 1).alias("by"),
+    )
+    j = img.select("image_id", "lon", "lat").crossJoin(F.broadcast(segs))
+    # expression FORMS mirror the SQL exactly — (lon-ax)*kx, not lon*kx-ax*kx
+    # — algebraically equal forms differ at the ulp and flip argmin ties /
+    # floor boundaries between engines
+    kx = F.lit(SNAP_LAT0_COS)
+    dx = (F.col("bx") - F.col("ax")) * kx
+    dy = F.col("by") - F.col("ay")
+    ex = (F.col("lon") - F.col("ax")) * kx
+    ey = F.col("lat") - F.col("ay")
+    seg2 = dx * dx + dy * dy
+    t = F.when(seg2 == F.lit(0.0), F.lit(0.0)).otherwise(
+        F.least(
+            F.greatest((ex * dx + ey * dy) / seg2, F.lit(0.0)),
+            F.lit(1.0),
+        )
+    )
+    snap_lon = F.col("ax") + t * (F.col("bx") - F.col("ax"))
+    snap_lat = F.col("ay") + t * (F.col("by") - F.col("ay"))
+    d2 = (ex - t * dx) * (ex - t * dx) + (ey - t * dy) * (ey - t * dy)
+    best = (
+        j.select(
+            "image_id",
+            F.struct(
+                d2.alias("d2"), F.col("way_id"), F.col("k"),
+                t.alias("t"), snap_lon.alias("sx"), snap_lat.alias("sy"),
+            ).alias("c"),
+        )
+        .groupBy("image_id")
+        .agg(F.min("c").alias("b"))
+    )
+    return best.select(
+        "image_id",
+        F.col("b.way_id").alias("way_id"),
+        F.col("b.k").cast("int").alias("seg_idx"),
+        F.floor(F.col("b.t") * F.lit(1.0e6)).cast("long").alias("t_e6"),
+        F.floor(F.col("b.sx") * F.lit(1.0e9)).cast("long").alias("snap_lon_e9"),
+        F.floor(F.col("b.sy") * F.lit(1.0e9)).cast("long").alias("snap_lat_e9"),
+        F.floor(F.sqrt(F.col("b.d2")) * F.lit(_M_PER_DEG) * F.lit(1.0e3))
+        .cast("long").alias("dist_mm"),
+    )
+
+
+def _sql_snap_points() -> str:
+    kx = geo.dlit(SNAP_LAT0_COS)
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"ways AS ({base.WAYS_SQL}), "
+        "segs AS (SELECT way_id, xs, ys,"
+        " unnest(range(1, len(xs))) AS k FROM ways), "
+        "sg AS (SELECT way_id, k, xs[k] AS ax, ys[k] AS ay,"
+        " xs[k + 1] AS bx, ys[k + 1] AS by FROM segs), "
+        "c AS (SELECT image_id, way_id, k,"
+        f" (bx - ax) * {kx} AS dx, by - ay AS dy,"
+        f" (lon - ax) * {kx} AS ex, lat - ay AS ey,"
+        " ax, ay, bx, by, lon, lat FROM img CROSS JOIN sg), "
+        "ct AS (SELECT *, CASE WHEN dx * dx + dy * dy = 0.0e0 THEN 0.0e0"
+        " ELSE least(greatest((ex * dx + ey * dy) / (dx * dx + dy * dy),"
+        " 0.0e0), 1.0e0) END AS t FROM c), "
+        "cd AS (SELECT image_id, way_id, k, t,"
+        " ax + t * (bx - ax) AS sx, ay + t * (by - ay) AS sy,"
+        " (ex - t * dx) * (ex - t * dx) + (ey - t * dy) * (ey - t * dy)"
+        " AS d2 FROM ct), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY image_id"
+        " ORDER BY d2, way_id, k) AS rn FROM cd) "
+        "SELECT image_id, way_id, CAST(k AS INT) AS seg_idx,"
+        " CAST(floor(t * 1.0e6) AS BIGINT) AS t_e6,"
+        " CAST(floor(sx * 1.0e9) AS BIGINT) AS snap_lon_e9,"
+        " CAST(floor(sy * 1.0e9) AS BIGINT) AS snap_lat_e9,"
+        f" CAST(floor(sqrt(d2) * {geo.dlit(_M_PER_DEG)} * 1.0e3) AS BIGINT)"
+        " AS dist_mm"
+        " FROM r WHERE rn = 1"
+    )
+
+
+QUERIES["snap_points"] = (q_snap_points, _sql_snap_points())

@@ -178,3 +178,44 @@ def test_image_dedup_keeps_one_per_family(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_snap_points_matches_numpy_projection(spark, sf_dir):
+    """Independent NumPy recomputation of the snap: for every image, the
+    engine's (way, segment, t, snap point, distance) must equal the true
+    argmin of point-to-segment distance in the scaled plane."""
+    import numpy as np
+
+    from osm_merge_spark.queries import base, geo4
+
+    img = base.images_df(spark, sf_dir).select("image_id", "lon", "lat").collect()
+    ways = base.ways_df(spark, sf_dir).select("way_id", "xs", "ys").collect()
+    kx = geo4.SNAP_LAT0_COS
+
+    segs = []
+    for wr in ways:
+        for k in range(1, len(wr["xs"])):
+            segs.append((wr["way_id"], k, wr["xs"][k - 1], wr["ys"][k - 1],
+                         wr["xs"][k], wr["ys"][k]))
+
+    got = {r["image_id"]: r for r in
+           geo4.q_snap_points(spark, sf_dir).collect()}
+    assert len(got) == len(img)
+    for r in img[:200]:
+        best = None
+        for wid, k, ax, ay, bx, by in segs:
+            dx, dy = (bx - ax) * kx, by - ay
+            ex, ey = (r["lon"] - ax) * kx, r["lat"] - ay
+            s2 = dx * dx + dy * dy
+            t = 0.0 if s2 == 0 else min(max((ex * dx + ey * dy) / s2, 0.0), 1.0)
+            d2 = (ex - t * dx) ** 2 + (ey - t * dy) ** 2
+            cand = (d2, wid, k, t, ax + t * (bx - ax), ay + t * (by - ay))
+            if best is None or cand < best:
+                best = cand
+        g = got[r["image_id"]]
+        d2, wid, k, t, sx, sy = best
+        assert (g["way_id"], g["seg_idx"]) == (wid, k), r["image_id"]
+        assert g["t_e6"] == int(np.floor(t * 1e6))
+        assert g["snap_lon_e9"] == int(np.floor(sx * 1e9))
+        assert g["snap_lat_e9"] == int(np.floor(sy * 1e9))
+        assert g["dist_mm"] == int(np.floor(np.sqrt(d2) * 111320.0 * 1e3))
