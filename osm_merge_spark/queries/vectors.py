@@ -504,3 +504,78 @@ def _sql_semdedup() -> str:
 
 
 QUERIES["semdedup"] = (q_semdedup, _sql_semdedup())
+
+
+# -- DataComp-style CLIP-score percentile filter -------------------------------
+# clip_align keeps pairs above a FIXED cosine; DataComp's stronger baseline
+# keeps the top p% of the POOL by CLIP score (Gadre et al. 2023: "CLIP score
+# top-30%" beats every fixed threshold they tried). A global top-p% naively
+# needs a global sort / single-partition window — the canonical scale trap.
+# Here the cutoff comes from an exact integer histogram instead: scores are
+# already e6-floored longs, so groupBy(score_e6) → descending cumulative
+# count → T = max score with cum ≥ ⌊p·N⌋ is exact, shuffles only
+# O(distinct scores) rows, and never sorts the corpus. Ties AT the cutoff
+# are all kept (count may exceed ⌊p·N⌋ by the tie class — the documented
+# histogram-threshold semantics; integer scores make it reproducible).
+CLIP_TOP_FRAC = 0.3
+
+
+def q_clip_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    img = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("ivec"),
+    )
+    txt = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.floor(F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("tvec"),
+    )
+    scored = img.join(txt, "pair_id").select(
+        "pair_id",
+        F.floor(
+            similarity.cosine(F.col("ivec"), F.col("tvec")) * F.lit(1.0e6)
+        ).cast("long").alias("score_e6"),
+    )
+    hist = scored.groupBy("score_e6").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    wd = Window.orderBy(F.col("score_e6").desc())  # O(distinct) rows only
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(wd.rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)),
+    )
+    total = scored.agg(F.count("*").alias("n"))
+    thresh = (
+        cum.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cum") >= F.floor(F.lit(CLIP_TOP_FRAC) * F.col("n").cast("double"))
+        )
+        .agg(F.max("score_e6").alias("t"))
+    )
+    return scored.crossJoin(F.broadcast(thresh)).select(
+        "pair_id", "score_e6",
+        (F.col("score_e6") >= F.col("t")).alias("keep"),
+    )
+
+
+def _sql_clip_percentile() -> str:
+    cos = similarity.cosine_sql("i.embedding", "t.embedding", DIM)
+    return (
+        "WITH i AS (SELECT CAST(vec_id / 2 AS BIGINT) AS pair_id, embedding"
+        " FROM embeddings WHERE vec_id % 2 = 0), "
+        "t AS (SELECT CAST(floor(vec_id / 2) AS BIGINT) AS pair_id, embedding"
+        " FROM embeddings WHERE vec_id % 2 = 1), "
+        f"s AS (SELECT i.pair_id, CAST(floor({cos} * 1.0e6) AS BIGINT)"
+        " AS score_e6 FROM i JOIN t ON i.pair_id = t.pair_id), "
+        "h AS (SELECT score_e6, count(*) AS cnt FROM s GROUP BY 1), "
+        "c AS (SELECT *, sum(cnt) OVER (ORDER BY score_e6 DESC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h), "
+        "n AS (SELECT count(*) AS n FROM s), "
+        "th AS (SELECT max(score_e6) AS t FROM c CROSS JOIN n"
+        f" WHERE cum >= floor({CLIP_TOP_FRAC} * CAST(n AS DOUBLE))) "
+        "SELECT pair_id, score_e6, score_e6 >= t AS keep FROM s CROSS JOIN th"
+    )
+
+
+QUERIES["clip_percentile"] = (q_clip_percentile, _sql_clip_percentile())

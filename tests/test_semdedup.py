@@ -48,3 +48,17 @@ def test_semdedup_matches_numpy(spark, sf_dir):
     # the rule actually fires: some rows dropped, most kept
     n_drop = sum(1 for _, k in got.values() if not k)
     assert 0 < n_drop < len(got) // 2
+
+
+def test_clip_percentile_keeps_exact_top_fraction(spark, sf_dir):
+    rows = vectors.q_clip_percentile(spark, sf_dir).collect()
+    kept = sorted(r["score_e6"] for r in rows if r["keep"])
+    dropped = [r["score_e6"] for r in rows if not r["keep"]]
+    n = len(rows)
+    n_keep_min = int(vectors.CLIP_TOP_FRAC * n)
+    # at least ⌊p·N⌋ kept; overshoot only by the cutoff tie class
+    assert len(kept) >= n_keep_min
+    assert len(kept) - n_keep_min < max(2, n // 10)
+    # total order: every kept score ≥ every dropped score
+    if dropped:
+        assert kept[0] >= max(dropped)
