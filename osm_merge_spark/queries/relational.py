@@ -710,3 +710,42 @@ def _sql_interval_join() -> str:
 
 
 QUERIES["interval_join"] = (q_interval_join, _sql_interval_join())
+
+
+# -- semi-structured JSON extraction ------------------------------------------
+# The events table carries a JSON props payload the engine must be able to
+# open without a schema migration — the lake-table reality (properties bags,
+# tracking params). Extraction is JVM-native (get_json_object — no Python),
+# lands in typed columns, and the aggregation after it is ordinary integer
+# arithmetic. At 100 TB the extraction is a pure projection fused into the
+# scan stage; only (event_type, k) pairs reach the shuffle.
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct(F.col("k")).alias("n_distinct_k"),
+        )
+    )
+
+
+def _sql_props_extract() -> str:
+    return (
+        "SELECT event_type, count(*) AS n,"
+        " CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)"
+        " AS sum_k,"
+        " min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,"
+        " max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,"
+        " count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))"
+        " AS n_distinct_k"
+        " FROM events GROUP BY event_type"
+    )
+
+
+QUERIES["props_extract"] = (q_props_extract, _sql_props_extract())
