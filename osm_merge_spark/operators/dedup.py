@@ -199,8 +199,12 @@ def lsh_candidate_pairs(sigs: DataFrame, num_hashes: int = NUM_HASHES,
     e = sigs.select(F.col("doc"), F.explode(bands).alias("bk"))
     a = e.select(F.col("doc").alias("d1"), "bk")
     b = e.select(F.col("doc").alias("d2"), "bk")
+    # shuffle_hash: band keys are high-cardinality equi-keys with no useful
+    # ordering — SMJ (Spark's default when neither side broadcasts) pays two
+    # full sorts of the exploded band stream for nothing a hash table
+    # doesn't give; at 10^12 rows those sorts are the stage's entire cost
     return (
-        a.join(b, "bk")
+        a.join(b.hint("shuffle_hash"), "bk")
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
@@ -286,8 +290,10 @@ def phash_near_dup(df: DataFrame, phash_col: str = "phash",
     )
     a = e.select(F.col("doc").alias("d1"), F.col("ph").alias("ph1"), "bk")
     b = e.select(F.col("doc").alias("d2"), F.col("ph").alias("ph2"), "bk")
+    # shuffle_hash for the same reason as lsh_candidate_pairs: the band-key
+    # equi-join gains nothing from SMJ's two sorts
     return (
-        a.join(b, "bk")
+        a.join(b.hint("shuffle_hash"), "bk")
         .filter(F.col("d1") < F.col("d2"))
         .select(
             "d1", "d2",

@@ -424,7 +424,8 @@ def q_image_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "w", "h"
     )
     sampled = q_geo_sample(spark, sf_dir)
-    return sampled.join(kept, "image_id", "inner").select(
+    # both legs are corpus-scale → shuffled-hash, not SMJ (no ordering value)
+    return sampled.join(kept.hint("shuffle_hash"), "image_id", "inner").select(
         "image_id", "tile_id", "w", "h"
     )
 
@@ -695,8 +696,11 @@ def q_image_dedup_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = pairs.select(F.col("d2").alias("ikey")).distinct()
     asm = q_image_assemble(spark, sf_dir)
     return (
-        asm.join(img.select("image_id", "ikey"), "image_id")
-        .join(dropped, "ikey", "left_anti")
+        # shuffle_hash: both sides are corpus-scale at 10^12 rows (no
+        # broadcast), and the equi-keys have no ordering worth SMJ's sorts
+        asm.join(img.select("image_id", "ikey").hint("shuffle_hash"),
+                 "image_id")
+        .join(dropped.hint("shuffle_hash"), "ikey", "left_anti")
         .select("image_id", "tile_id", "w", "h")
     )
 
