@@ -662,3 +662,71 @@ QUERIES = {
     "token_count": (q_token_count, _sql_token_count()),
     "doc_fingerprint": (q_doc_fingerprint, _sql_doc_fingerprint()),
 }
+
+
+# -- corpus mixture rebalancing -----------------------------------------------
+# The pretraining data-mixing step (fixed-mixture flavor of DoReMi/Pile
+# recipes): given TARGET per-source weights, compute per-source sampling
+# rates so the sampled corpus hits the target mixture under a global token
+# budget (MIX_ALPHA of the corpus), then sample deterministically by doc-id
+# hash. Unlike sample_stratified (fixed literal rates), the rates here are
+# DATA-DERIVED — two aggregate passes (per-source token sums; the Σw/Σtokens
+# scalars) produce a ≤|sources|-row rate table that broadcasts back onto the
+# corpus: the full scan never shuffles, exactly the lm_quality vocab shape.
+# All rate arithmetic lands in integer per-million units before the compare,
+# so keep/drop is reproducible and engine-exact.
+MIX_ALPHA = 0.5  # sampled corpus targets half the corpus tokens
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        text.token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.expr("substring(source, 4)").cast("long").alias("src_num"),
+    )
+    per_src = docs.groupBy("source", "src_num").agg(
+        F.sum("n_tok").alias("tokens_s")
+    ).withColumn("w_s", F.lit(1) + (F.col("src_num") % 3).cast("long"))
+    tot = per_src.agg(
+        F.sum("w_s").alias("sw"), F.sum("tokens_s").alias("tt")
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(
+                (F.col("w_s").cast("double")
+                 * F.floor(F.lit(5.0e-1) * F.col("tt").cast("double")))
+                / (F.col("sw").cast("double") * F.col("tokens_s").cast("double"))
+                * F.lit(1.0e6)
+            ).cast("long"),
+        ).alias("rate_pm"),
+    )
+    bucket = hashes.md5i(F.col("doc_id"), 8) % F.lit(1_000_000)
+    return docs.join(F.broadcast(rates), "source").select(
+        "doc_id", "source", "rate_pm",
+        (bucket < F.col("rate_pm")).alias("keep"),
+    )
+
+
+def _sql_corpus_mixture() -> str:
+    ntok = text.token_count_sql("text")
+    bucket = f"({hashes.md5i_sql('doc_id', 8)} % 1000000)"
+    return (
+        f"WITH d AS (SELECT doc_id, source, CAST({ntok} AS BIGINT) AS n_tok,"
+        " CAST(substr(source, 4) AS BIGINT) AS src_num FROM documents), "
+        "ps AS (SELECT source, src_num, CAST(sum(n_tok) AS BIGINT) AS tokens_s,"
+        " 1 + (src_num % 3) AS w_s FROM d GROUP BY 1, 2), "
+        "tot AS (SELECT CAST(sum(w_s) AS BIGINT) AS sw,"
+        " CAST(sum(tokens_s) AS BIGINT) AS tt FROM ps), "
+        "r AS (SELECT source, least(CAST(1000000 AS BIGINT),"
+        " CAST(floor((CAST(w_s AS DOUBLE)"
+        " * floor(5.0e-1 * CAST(tt AS DOUBLE)))"
+        " / (CAST(sw AS DOUBLE) * CAST(tokens_s AS DOUBLE))"
+        " * 1.0e6) AS BIGINT)) AS rate_pm FROM ps CROSS JOIN tot) "
+        f"SELECT doc_id, d.source, rate_pm, {bucket} < rate_pm AS keep"
+        " FROM d JOIN r ON d.source = r.source"
+    )
+
+
+QUERIES["corpus_mixture"] = (q_corpus_mixture, _sql_corpus_mixture())

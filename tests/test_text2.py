@@ -177,3 +177,45 @@ def test_lm_quality_matches_brute_force(spark, tmp_path):
     assert got == expect
     # orders as intended: repetition < mixed < rare
     assert got["d2"][1] < got["d1"][1] < got["d3"][1]
+
+
+def test_corpus_mixture_rates_hit_target_shares(spark, sf_dir):
+    """Rates must be inversely proportional to per-source token mass and
+    proportional to target weight; an independent Python pass over the raw
+    docs must reproduce every rate and keep flag exactly."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from osm_merge_spark.queries import text as tq
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "text").collect()
+    import re
+    tok = lambda s: len(re.findall(r"[a-z0-9]+", s.lower()))
+    tokens = defaultdict(int)
+    for r in docs:
+        tokens[r["source"]] += tok(r["text"])
+    w = {s: 1 + int(s[3:]) % 3 for s in tokens}
+    sw, tt = sum(w.values()), sum(tokens.values())
+    t_target = math.floor(0.5 * tt)
+    rate = {
+        s: min(1_000_000,
+               math.floor((w[s] * t_target) / (sw * tokens[s]) * 1e6))
+        for s in tokens
+    }
+
+    got = {r["doc_id"]: r for r in
+           tq.q_corpus_mixture(spark, sf_dir).collect()}
+    assert len(got) == len(docs)
+    for r in docs:
+        g = got[r["doc_id"]]
+        assert g["rate_pm"] == rate[r["source"]], r["source"]
+        bucket = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8],
+                     16) % 1_000_000
+        assert g["keep"] == (bucket < rate[r["source"]])
+    # weight-3 sources sample at ~3x the rate of weight-1 sources
+    r1 = [v for s, v in rate.items() if w[s] == 1]
+    r3 = [v for s, v in rate.items() if w[s] == 3]
+    if r1 and r3:
+        assert min(r3) > max(r1)
