@@ -749,3 +749,43 @@ def _sql_props_extract() -> str:
 
 
 QUERIES["props_extract"] = (q_props_extract, _sql_props_extract())
+
+
+# -- pivot (wide per-type daily counts) ----------------------------------------
+# The reshape surface: groupBy().pivot() compiles to one aggregation pass
+# with conditional counters per pivot value (no per-value scans, no join) —
+# the canonical "events long → day × type wide" reporting query. Pivot
+# values are the fixed literal list (required for a deterministic schema;
+# Spark's value-discovery pass would also make the plan data-dependent).
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("us", _epoch_us()) \
+        .withColumn("day", F.expr("us DIV 86400000000"))
+    wide = (
+        ev.groupBy("day")
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in PIVOT_TYPES
+        ],
+    )
+
+
+def _sql_events_pivot() -> str:
+    conds = ", ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in PIVOT_TYPES
+    )
+    return (
+        "SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+        f"{conds} FROM events GROUP BY 1"
+    )
+
+
+QUERIES["events_pivot"] = (q_events_pivot, _sql_events_pivot())
