@@ -180,3 +180,33 @@ def attach_payload(slim_result: DataFrame, images_with_bytes: DataFrame,
     return slim_result.join(
         images_with_bytes.select(key, "bytes"), key, "left"
     )
+
+
+def tile_image_stats(images_with_bytes: DataFrame, grid=None) -> DataFrame:
+    """Raster rollup over REAL pixels: decode each image (Arrow-batched),
+    assign its covering tile (pure arithmetic — tiles.assign_tiles), and
+    aggregate per-tile image counts + mean channel intensities — the
+    "statistics per map tile" product of the raster↔vector assignment
+    (north rule J10 composed with the decode path).
+
+    Scale shape: pixels never shuffle — decode_stats reduces each image to
+    3 doubles executor-side, the tile key is a projection, and the groupBy
+    ships 4 numbers per image. Input: (image_id, bytes, fmt, lon, lat)."""
+    from ..functions.cells import TileGrid
+    from .tiles import assign_tiles
+
+    grid = grid or TileGrid(tile_m=20000.0)
+    stats = decode_stats(images_with_bytes.select("image_id", "bytes", "fmt"))
+    keyed = assign_tiles(
+        images_with_bytes.select("image_id", "lon", "lat"), grid
+    ).join(stats, "image_id")
+    return (
+        keyed.filter(F.col("decode_ok"))
+        .groupBy("tile_id")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.round(F.avg("mean_r"), 4).alias("avg_r"),
+            F.round(F.avg("mean_g"), 4).alias("avg_g"),
+            F.round(F.avg("mean_b"), 4).alias("avg_b"),
+        )
+    )

@@ -149,7 +149,7 @@ def test_dedup_stream_state_ttl_reemits_expired_keys(spark, tmp_path):
         return sorted(r.image_id for r in spark.sql(
             "SELECT * FROM ttlq").collect())
 
-    def wait_for(pred, timeout_s=60):
+    def wait_for(pred, timeout_s=120):
         t0 = time.time()
         while time.time() - t0 < timeout_s:
             try:
@@ -160,11 +160,15 @@ def test_dedup_stream_state_ttl_reemits_expired_keys(spark, tmp_path):
             time.sleep(0.3)
         return False
 
+    # TTL 8 s / idle 2xTTL: wide margins — under co-tenant load the
+    # processing-time triggers can stall for seconds, and the final phase
+    # needs the add to land well inside B's refreshed TTL window
+    TTL_MS = 8000
     add_file([("A", 1), ("B", 1)])
     stream = jobs.chunked_ingest(
         spark, src, spark.createDataFrame([], schema).schema
     )
-    dd = jobs.dedup_stream(stream, "image_id", state_ttl_ms=5000)
+    dd = jobs.dedup_stream(stream, "image_id", state_ttl_ms=TTL_MS)
     q = (
         dd.writeStream.format("memory").queryName("ttlq")
         .outputMode("append")
@@ -173,7 +177,7 @@ def test_dedup_stream_state_ttl_reemits_expired_keys(spark, tmp_path):
     )
     try:
         assert wait_for(lambda: emitted() == ["A", "B"])  # both firsts
-        time.sleep(7.0)  # idle > TTL: dataless triggers expire A and B
+        time.sleep(2.0 * TTL_MS / 1000)  # idle > TTL: dataless triggers expire A and B
         add_file([("B", 2), ("C", 1)])
         # B was forgotten while idle → re-emitted; C is a first
         assert wait_for(lambda: emitted() == ["A", "B", "B", "C"])

@@ -81,3 +81,38 @@ def test_images_table_payload_invariant(spark):
 def test_unsupported_format_raises():
     with pytest.raises(NotImplementedError):
         codec.encode(codec.pixels_for_seed(1, 4, 4), "jpg")
+
+
+def test_tile_image_stats_matches_numpy(spark):
+    """Per-tile pixel rollup: counts and channel means must equal a local
+    decode of the same deterministic corpus; undecodable rows are excluded."""
+    import numpy as np
+
+    from osm_merge_spark.data import images as codec, synth
+    from osm_merge_spark.functions.cells import TileGrid
+    from osm_merge_spark.operators import multimodal as mm
+    from osm_merge_spark.operators import tiles as tile_ops
+
+    n = 120
+    tg = TileGrid(tile_m=20000.0)
+    imgs = synth.synth_images(spark, n, with_bytes=True)
+    got = {r["tile_id"]: r for r in mm.tile_image_stats(imgs, tg).collect()}
+
+    local = tile_ops.assign_tiles(
+        synth.synth_images(spark, n), tg
+    ).select("image_id", "i", "w", "h", "fmt", "tile_id").collect()
+    agg = {}
+    for r in local:
+        px = codec.pixels_for_seed(int(r["i"]), r["w"], r["h"])
+        if r["fmt"] == "qnt":  # lossy round trip — decode of encode
+            px = codec.decode(codec.encode(px, "qnt"), "qnt")
+        m = px.reshape(-1, 3).mean(axis=0)
+        agg.setdefault(r["tile_id"], []).append(m)
+    assert set(got) == set(agg)
+    for tid, ms in agg.items():
+        mean = np.mean(ms, axis=0)
+        row = got[tid]
+        assert row["n_images"] == len(ms)
+        assert abs(row["avg_r"] - round(float(mean[0]), 4)) <= 1e-4
+        assert abs(row["avg_g"] - round(float(mean[1]), 4)) <= 1e-4
+        assert abs(row["avg_b"] - round(float(mean[2]), 4)) <= 1e-4
