@@ -956,3 +956,119 @@ def _sql_cohort_retention() -> str:
 
 
 QUERIES["cohort_retention"] = (q_cohort_retention, _sql_cohort_retention())
+
+
+# -- TPC-H classics (deterministic integer-cents variants) -----------------------
+# The canonical OLAP shapes over the driver's TPC-H-ish tables. Money sums
+# are ORDER-DEPENDENT as doubles (different partial-agg merge orders between
+# engines), so every measure integerizes PER ROW first (floor(x · scale) —
+# identical IEEE expression both sides) and aggregates exactly in BIGINT —
+# same contract as lm_quality's nano-unit log-probs.
+TPCH_CUTOFF = "1998-09-01"
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= F.lit(TPCH_CUTOFF).cast("timestamp_ntz")
+    )
+    qty_e2 = F.floor(F.col("l_quantity") * F.lit(1.0e2)).cast("long")
+    price_e2 = F.floor(F.col("l_extendedprice") * F.lit(1.0e2)).cast("long")
+    disc_e4 = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(1.0e4)
+    ).cast("long")
+    charge_e6 = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax")) * F.lit(1.0e6)
+    ).cast("long")
+    return (
+        li.select(
+            "l_returnflag", "l_linestatus",
+            qty_e2.alias("q"), price_e2.alias("p"),
+            disc_e4.alias("d"), charge_e6.alias("c"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("q").alias("sum_qty_e2"),
+            F.sum("p").alias("sum_base_e2"),
+            F.sum("d").alias("sum_disc_e4"),
+            F.sum("c").alias("sum_charge_e6"),
+            F.count("*").alias("count_order"),
+            F.floor(
+                F.sum("q").cast("double") / F.count("*").cast("double")
+            ).cast("long").alias("avg_qty_e2"),
+        )
+    )
+
+
+def _sql_tpch_q1() -> str:
+    return (
+        "WITH m AS (SELECT l_returnflag, l_linestatus,"
+        " CAST(floor(l_quantity * 1.0e2) AS BIGINT) AS q,"
+        " CAST(floor(l_extendedprice * 1.0e2) AS BIGINT) AS p,"
+        " CAST(floor(l_extendedprice * (1.0 - l_discount) * 1.0e4) AS BIGINT)"
+        " AS d,"
+        " CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"
+        " * 1.0e6) AS BIGINT) AS c"
+        f" FROM lineitem WHERE l_shipdate <= TIMESTAMP '{TPCH_CUTOFF}') "
+        "SELECT l_returnflag, l_linestatus,"
+        " CAST(sum(q) AS BIGINT) AS sum_qty_e2,"
+        " CAST(sum(p) AS BIGINT) AS sum_base_e2,"
+        " CAST(sum(d) AS BIGINT) AS sum_disc_e4,"
+        " CAST(sum(c) AS BIGINT) AS sum_charge_e6,"
+        " count(*) AS count_order,"
+        " CAST(floor(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE))"
+        " AS BIGINT) AS avg_qty_e2"
+        " FROM m GROUP BY 1, 2"
+    )
+
+
+QUERIES["tpch_q1"] = (q_tpch_q1, _sql_tpch_q1())
+
+
+# Q5-style: revenue per nation through the 6-table join chain, one year.
+# Plan notes: nation/region broadcast (tiny dims), customer/supplier
+# broadcast at this sf and shuffle-hash at 100 TB (AQE decides from stats),
+# lineitem never sorts. The classic join-reordering testcase.
+TPCH_Q5_YEAR = 1996
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    li, o, c = rd("lineitem"), rd("orders"), rd("customer")
+    s, n = rd("supplier"), rd("nation")
+    rev_e4 = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(1.0e4)
+    ).cast("long")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.year("o_orderdate") == F.lit(TPCH_Q5_YEAR))
+    )
+    return (
+        j.select(F.col("n_name").alias("nation"), rev_e4.alias("r"))
+        .groupBy("nation")
+        .agg(F.sum("r").alias("revenue_e4"))
+    )
+
+
+def _sql_tpch_q5() -> str:
+    return (
+        "SELECT n_name AS nation,"
+        " CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1.0e4)"
+        " AS BIGINT)) AS BIGINT) AS revenue_e4"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation ON s_nationkey = n_nationkey"
+        " WHERE c_nationkey = s_nationkey"
+        f" AND year(o_orderdate) = {TPCH_Q5_YEAR}"
+        " GROUP BY 1"
+    )
+
+
+QUERIES["tpch_q5"] = (q_tpch_q5, _sql_tpch_q5())
