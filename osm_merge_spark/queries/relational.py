@@ -1072,3 +1072,75 @@ def _sql_tpch_q5() -> str:
 
 
 QUERIES["tpch_q5"] = (q_tpch_q5, _sql_tpch_q5())
+
+
+# -- key-skew profiler -------------------------------------------------------------
+# The diagnostic that DRIVES the engine's skew machinery (hot-cell salting,
+# AQE skew-join thresholds): per-key cardinality distribution summarized as
+# one row — key count, max/p99 per-key multiplicity, and the share of rows
+# held by the single hottest key. The p99 comes from a histogram-of-counts
+# cumsum (counts of counts — tiny), never a sort of the key table. Run it on
+# any join key before choosing broadcast / salt / AQE at 100 TB.
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_key = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hist = per_key.groupBy("cnt").agg(F.count("*").alias("keys"))
+    w = Window.orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "cnt", "keys",
+        F.sum("keys").over(w).alias("cum_keys"),
+    )
+    tot = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    p99 = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cum_keys").cast("double")
+            >= F.lit(0.99) * F.col("n_keys").cast("double")
+        )
+        .agg(F.min("cnt").alias("p99_cnt"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(p99))
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("max_cnt").cast("long").alias("max_cnt"),
+            F.col("p99_cnt").cast("long").alias("p99_cnt"),
+            F.floor(
+                F.col("max_cnt").cast("double")
+                / F.col("n_rows").cast("double") * F.lit(1.0e6)
+            ).cast("long").alias("top1_share_e6"),
+        )
+    )
+
+
+def _sql_key_skew() -> str:
+    return (
+        "WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1), "
+        "h AS (SELECT cnt, count(*) AS keys FROM pk GROUP BY 1), "
+        "c AS (SELECT cnt, keys, CAST(sum(keys) OVER (ORDER BY cnt"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS cum_keys FROM h), "
+        "t AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,"
+        " max(cnt) AS max_cnt FROM pk), "
+        "p AS (SELECT min(cnt) AS p99_cnt FROM c CROSS JOIN t"
+        " WHERE CAST(cum_keys AS DOUBLE) >= 0.99 * CAST(n_keys AS DOUBLE)) "
+        "SELECT CAST(n_keys AS BIGINT) AS n_keys, n_rows,"
+        " CAST(max_cnt AS BIGINT) AS max_cnt,"
+        " CAST(p99_cnt AS BIGINT) AS p99_cnt,"
+        " CAST(floor(CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+        " * 1.0e6) AS BIGINT) AS top1_share_e6"
+        " FROM t CROSS JOIN p"
+    )
+
+
+QUERIES["key_skew"] = (q_key_skew, _sql_key_skew())
