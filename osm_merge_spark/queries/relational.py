@@ -824,14 +824,22 @@ def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (
         F.col("s2").cast("double") / F.col("m").cast("double") - mu * mu
     )
-    z_e6 = F.floor(
-        (F.col("n").cast("double") - mu) / F.sqrt(var) * F.lit(1.0e6)
-    ).cast("long")
+    # zero-variance baseline (all trailing counts equal): z is undefined —
+    # NULL, not an anomaly (ANSI mode would otherwise throw DIVIDE_BY_ZERO;
+    # DuckDB would silently produce inf — both engines take this CASE)
+    z_e6 = F.when(
+        var > F.lit(0.0),
+        F.floor(
+            (F.col("n").cast("double") - mu) / F.sqrt(var) * F.lit(1.0e6)
+        ).cast("long"),
+    )
     return base_.select(
         "event_type", "hour_id",
         F.col("n").cast("long").alias("n"),
         z_e6.alias("z_e6"),
-        (F.abs(z_e6) >= F.lit(ANOM_Z_E6)).alias("is_anomaly"),
+        F.coalesce(
+            F.abs(z_e6) >= F.lit(ANOM_Z_E6), F.lit(False)
+        ).alias("is_anomaly"),
     )
 
 
@@ -839,8 +847,9 @@ def _sql_event_anomaly() -> str:
     mu = "(CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))"
     var = f"(CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE) - {mu} * {mu})"
     z = (
-        f"CAST(floor((CAST(n AS DOUBLE) - {mu}) / sqrt({var}) * 1.0e6)"
-        " AS BIGINT)"
+        f"CASE WHEN {var} > 0.0 THEN"
+        f" CAST(floor((CAST(n AS DOUBLE) - {mu}) / sqrt({var}) * 1.0e6)"
+        " AS BIGINT) END"
     )
     return (
         f"WITH h AS (SELECT event_type, epoch_us(ts) // {HOUR_US} AS hour_id,"
@@ -851,7 +860,7 @@ def _sql_event_anomaly() -> str:
         " WINDOW tw AS (PARTITION BY event_type ORDER BY hour_id"
         f" ROWS BETWEEN {ANOM_W} PRECEDING AND 1 PRECEDING)) "
         f"SELECT event_type, hour_id, CAST(n AS BIGINT) AS n, {z} AS z_e6,"
-        f" abs({z}) >= {ANOM_Z_E6} AS is_anomaly"
+        f" coalesce(abs({z}) >= {ANOM_Z_E6}, false) AS is_anomaly"
         f" FROM b WHERE m >= {ANOM_W}"
     )
 
