@@ -163,7 +163,11 @@ def new_features(p: DataFrame, matched_keys: DataFrame) -> DataFrame:
     (informal=yes + fixme, version=1 — conflator.py:318-325). p must be
     prepare_images() output; matched_keys needs only image_id."""
     return (
-        p.join(matched_keys.select("image_id"), "image_id", "left_anti")
+        # shuffle_hash: both sides are corpus-scale (every unmatched image ×
+        # every match) — SMJ would sort both for an equi-key with no
+        # ordering value (same rationale as the banded dedup joins)
+        p.join(matched_keys.select("image_id").hint("shuffle_hash"),
+               "image_id", "left_anti")
         .select(
             "image_id", "caption", "lon", "lat",
             F.lit(1).alias("version"),

@@ -287,9 +287,10 @@ def q_conflate_new(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("image_id")
         .distinct()
     )
-    return img.join(matched, "image_id", "left_anti").select(
-        "image_id", "caption", F.lit(1).alias("version")
-    )
+    # shuffle_hash: both legs are corpus-scale equi-keys — SMJ's two sorts
+    # buy nothing (same rationale as the banded dedup joins, BASELINE §5.9)
+    return img.join(matched.hint("shuffle_hash"), "image_id", "left_anti") \
+        .select("image_id", "caption", F.lit(1).alias("version"))
 
 
 def _sql_conflate_new() -> str:

@@ -252,7 +252,8 @@ def q_building_new(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_b")
         .distinct()
     )
-    return b.join(dups, "id_b", "left_anti").select("id_b")
+    return b.join(dups.hint("shuffle_hash"), "id_b", "left_anti") \
+        .select("id_b")
 
 
 def _sql_building_new() -> str:

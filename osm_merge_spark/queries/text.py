@@ -623,8 +623,10 @@ def q_corpus_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = q_sample_stratified(spark, sf_dir)
     return (
         sampled
-        .join(filt.select("doc_id"), "doc_id", "left_semi")
-        .join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .join(filt.select("doc_id").hint("shuffle_hash"), "doc_id",
+              "left_semi")
+        .join(keepers.select("doc_id").hint("shuffle_hash"), "doc_id",
+              "left_semi")
         .select("doc_id", "lang", "source")
     )
 
@@ -751,7 +753,7 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup.lsh_candidate_pairs(
         dedup.minhash_signatures(_docs(spark, sf_dir))
     )
-    hit = truth.join(cand, ["d1", "d2"], "left_semi")
+    hit = truth.join(cand.hint("shuffle_hash"), ["d1", "d2"], "left_semi")
     return (
         truth.agg(F.count("*").alias("n_true"))
         .crossJoin(cand.agg(F.count("*").alias("n_cand")))
