@@ -760,10 +760,15 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(hit.agg(F.count("*").alias("n_hit")))
         .select(
             "n_true", "n_cand", "n_hit",
-            F.floor(
-                F.col("n_hit").cast("double")
-                / F.col("n_true").cast("double") * F.lit(1.0e6)
-            ).cast("long").alias("recall_e6"),
+            # degenerate-slice guard (ADVICE r3): zero ground-truth pairs
+            # must yield NULL, not NaN/divide-by-zero divergence
+            F.when(
+                F.col("n_true") > F.lit(0),
+                F.floor(
+                    F.col("n_hit").cast("double")
+                    / F.col("n_true").cast("double") * F.lit(1.0e6)
+                ).cast("long"),
+            ).alias("recall_e6"),
         )
     )
 
@@ -780,9 +785,10 @@ def _sql_dedup_recall() -> str:
         "SELECT (SELECT count(*) FROM tr) AS n_true,"
         " (SELECT count(*) FROM ca) AS n_cand,"
         " (SELECT count(*) FROM hit) AS n_hit,"
+        " CASE WHEN (SELECT count(*) FROM tr) > 0 THEN"
         " CAST(floor(CAST((SELECT count(*) FROM hit) AS DOUBLE)"
         " / CAST((SELECT count(*) FROM tr) AS DOUBLE) * 1.0e6) AS BIGINT)"
-        " AS recall_e6"
+        " END AS recall_e6"
     )
 
 

@@ -231,46 +231,9 @@ def phash_dedup_stream(images_stream: DataFrame, seen_dir: str, out_dir: str,
     The reference has no streaming or image hashing; this is the
     training-data ingest path for the BASELINE.json image contract.
     """
-    from ..operators.dedup import phash_band_keys, phash_near_dup
-    from ..operators.phash import compute_phash
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        h = compute_phash(batch_df).filter(F.col("phash_px").isNotNull())
-        # intra-batch: min-id survivor per near-dup pair
-        pairs = phash_near_dup(
-            h, phash_col="phash_px", id_col="image_id",
-            max_hamming=max_hamming, n_bands=n_bands,
-        )
-        h = h.join(
-            pairs.select(F.col("d2").alias("image_id")).distinct(),
-            "image_id", "left_anti",
-        )
-        # cross-batch: anything within k bits of a seen hash is a dup
-        bands = h.select(
-            "image_id", "phash_px",
-            F.explode(
-                phash_band_keys(F.col("phash_px"), n_bands)
-            ).alias("bk"),
-        )
-        try:
-            seen = spark.read.parquet(seen_dir)
-            dup_ids = (
-                bands.join(seen.select("bk", F.col("phash").alias("sph")),
-                           "bk")
-                .filter(
-                    F.bit_count(F.col("phash_px").bitwiseXOR(F.col("sph")))
-                    <= F.lit(max_hamming)
-                )
-                .select("image_id").distinct()
-            )
-            h = h.join(dup_ids, "image_id", "left_anti")
-            bands = bands.join(dup_ids, "image_id", "left_anti")
-        except Exception:
-            pass  # first batch: no seen table yet
-        bands.select("bk", F.col("phash_px").alias("phash"), "image_id") \
-            .write.mode("overwrite").parquet(f"{seen_dir}/batch={batch_id}")
-        h.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        phash_dedup_batch(batch_df, batch_id, seen_dir, out_dir,
+                          max_hamming=max_hamming, n_bands=n_bands)
 
     return (
         images_stream.writeStream.foreachBatch(process_batch)
@@ -278,3 +241,70 @@ def phash_dedup_stream(images_stream: DataFrame, seen_dir: str, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def phash_dedup_batch(batch_df: DataFrame, batch_id: int, seen_dir: str,
+                      out_dir: str, max_hamming: int = 7,
+                      n_bands: int = 8) -> None:
+    """One micro-batch of the streaming pHash near-dup ladder (module-level
+    so crash-replay is testable without a streaming query).
+
+    Replay safety: the seen-table read filters to STRICTLY EARLIER batches
+    (`batch < batch_id`). A replayed micro-batch (checkpoint re-delivers
+    batch N after a crash between the two writes) would otherwise read its
+    own pre-crash batch=N band rows, match every image against itself
+    (hamming 0), and overwrite both outputs with empty data — permanently
+    losing the batch's survivors and their band state.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import phash_band_keys, phash_near_dup
+    from ..operators.phash import compute_phash
+
+    spark = batch_df.sparkSession
+    h = compute_phash(batch_df).filter(F.col("phash_px").isNotNull())
+    # intra-batch: min-id survivor per near-dup pair
+    pairs = phash_near_dup(
+        h, phash_col="phash_px", id_col="image_id",
+        max_hamming=max_hamming, n_bands=n_bands,
+    )
+    h = h.join(
+        pairs.select(F.col("d2").alias("image_id")).distinct(),
+        "image_id", "left_anti",
+    )
+
+    def band_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "image_id", "phash_px",
+            F.explode(phash_band_keys(F.col("phash_px"), n_bands)).alias("bk"),
+        )
+
+    # cross-batch: anything within k bits of a hash seen in an EARLIER
+    # batch is a dup. Only AnalysisException (seen_dir absent on the very
+    # first batch) is swallowed — corrupt files / transient FS errors must
+    # propagate, not silently disable dedup for the batch.
+    try:
+        seen = spark.read.parquet(seen_dir).filter(F.col("batch") < batch_id)
+    except AnalysisException:
+        seen = None
+    if seen is not None:
+        dup_ids = (
+            band_rows(h)
+            .join(seen.select("bk", F.col("phash").alias("sph")), "bk")
+            .filter(
+                F.bit_count(F.col("phash_px").bitwiseXOR(F.col("sph")))
+                <= F.lit(max_hamming)
+            )
+            .select("image_id").distinct()
+        )
+        h = h.join(dup_ids, "image_id", "left_anti")
+    # two actions over one lineage: persist so decode + pHash + the banded
+    # intra/cross-batch joins run once per micro-batch, not twice
+    h = h.persist()
+    try:
+        band_rows(h).select(
+            "bk", F.col("phash_px").alias("phash"), "image_id"
+        ).write.mode("overwrite").parquet(f"{seen_dir}/batch={batch_id}")
+        h.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+    finally:
+        h.unpersist()

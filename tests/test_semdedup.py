@@ -7,26 +7,43 @@ import numpy as np
 from osm_merge_spark.queries import vectors
 
 
+def _seq_dot(a, b) -> float:
+    """Left-to-right sequential fold — the engine's F.aggregate(zip_with)
+    form, bit for bit. BLAS matmul sums in a build-dependent order, which
+    can flip argmax assignment / the τ keep flag at near-tie boundaries on
+    other platforms (ADVICE r3)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _seq_cos(a, b) -> float:
+    import math
+
+    return _seq_dot(a, b) / (math.sqrt(_seq_dot(a, a)) * math.sqrt(_seq_dot(b, b)))
+
+
 def _numpy_semdedup(ids: np.ndarray, X: np.ndarray):
     """Independent reimplementation: argmax-cosine assignment to the SEM_K
     lowest-id centroids, within-cluster pairwise cosine ≥ τ, drop the pair
-    member with the larger (cos-to-centroid, id) key."""
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    member with the larger (cos-to-centroid, id) key. Cosines use the same
+    sequential summation as the engine so equality is exact by construction,
+    not by luck of no near-ties."""
     order = np.argsort(ids)
-    ids, Xn = ids[order], Xn[order]
-    C = Xn[: vectors.SEM_K]
+    ids, X = ids[order], X[order]
+    C = X[: vectors.SEM_K]
     cid_vals = ids[: vectors.SEM_K]
-    sims = Xn @ C.T
+    sims = np.array([[_seq_cos(x, c) for c in C] for x in X])
     assign = sims.argmax(axis=1)  # first max = lowest centroid index
     c2c = sims[np.arange(len(ids)), assign]
     dropped = set()
     for c in range(vectors.SEM_K):
         idx = np.where(assign == c)[0]
-        S = Xn[idx] @ Xn[idx].T
         for ai in range(len(idx)):
             for bi in range(ai + 1, len(idx)):
-                if S[ai, bi] >= vectors.SEM_TAU:
-                    x, y = idx[ai], idx[bi]
+                x, y = idx[ai], idx[bi]
+                if _seq_cos(X[x], X[y]) >= vectors.SEM_TAU:
                     loser = x if (c2c[x], ids[x]) > (c2c[y], ids[y]) else y
                     dropped.add(int(ids[loser]))
     return {int(i): (int(cid_vals[a]), int(i) not in dropped)
@@ -42,8 +59,8 @@ def test_semdedup_matches_numpy(spark, sf_dir):
     got = {r["vec_id"]: (r["cluster"], r["keep"])
            for r in vectors.q_semdedup(spark, sf_dir).collect()}
     assert len(got) == len(want)
-    # cluster assignment must agree exactly; keep flags may differ only at
-    # float tie boundaries, which don't occur in this data — require equality
+    # exact equality is safe: the oracle's cosines use the engine's own
+    # sequential summation order, so there are no cross-build near-ties
     assert got == want
     # the rule actually fires: some rows dropped, most kept
     n_drop = sum(1 for _, k in got.values() if not k)

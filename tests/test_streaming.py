@@ -236,3 +236,34 @@ def test_phash_dedup_stream_suppresses_cross_batch_near_dups(spark, tmp_path):
     assert not any(f"b-{s}" in got for s in range(5))
     assert {f"b-{s}" for s in range(100, 105)} <= got
     assert len(got) == 15
+
+
+def test_phash_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay: foreachBatch re-delivers a micro-batch whose outputs
+    were already written. The seen-table read must ignore the batch's OWN
+    pre-crash band rows (batch < batch_id) — otherwise every image matches
+    itself at hamming 0 and the replay clobbers both outputs with empty
+    data (ADVICE r3, high)."""
+    from osm_merge_spark.data import images as codec
+
+    schema = "image_id string, bytes binary, fmt string"
+    rows = [
+        (f"r-{s}", codec.encode(codec.pixels_for_seed(s, 16, 16), "png"), "png")
+        for s in range(6)
+    ]
+    batch = spark.createDataFrame(rows, schema)
+    seen_dir, out_dir = str(tmp_path / "seen"), str(tmp_path / "out")
+
+    jobs.phash_dedup_batch(batch, 0, seen_dir, out_dir)
+    first = {r.image_id for r in spark.read.parquet(out_dir).collect()}
+    assert first == {f"r-{s}" for s in range(6)}
+
+    # replay the same batch id (crash after the writes, before the commit)
+    jobs.phash_dedup_batch(batch, 0, seen_dir, out_dir)
+    replayed = {r.image_id for r in spark.read.parquet(out_dir).collect()}
+    assert replayed == first
+
+    # a later batch still dedups against batch 0's band state
+    jobs.phash_dedup_batch(batch, 1, seen_dir, out_dir)
+    after = {r.image_id for r in spark.read.parquet(out_dir).collect()}
+    assert after == first  # batch 1 rows are all dups of batch 0's
