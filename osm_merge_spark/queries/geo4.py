@@ -742,36 +742,44 @@ QUERIES["image_dedup_assemble"] = (
 # geometry edit. Geometry runs in equirectangular meters (lon pre-scaled by
 # cos(AOI center lat) so x and y are commensurate — plain degree space would
 # bias the argmin toward north-south segments by ~38% at this latitude).
-# Scale shape: the way table broadcasts (layer ≪ corpus, the J2 pattern) and
-# the corpus never shuffles — one projection + one map-side argmin groupBy;
-# for layers too large to broadcast the cell-ring candidate join
-# (operators/cell_join) replaces the broadcast, same refine expressions.
+# Scale shape (round-4: the r3 broadcast cartesian is GONE): candidates come
+# from the fused cell-ring join (operators/cell_join.candidate_pairs_fused —
+# no broadcast, no driver-side hash build, probe never exploded 9×), in
+# geometrically growing radius rounds à la knn_unbounded: a round's best is
+# FINAL only when its distance is inside the round grid's coverage guarantee,
+# so the argmin is exact over ALL segments, not just ring-1 candidates.
+# Points isolated beyond the last round fall back to a constant-key
+# shuffled-hash equi-join (never a BroadcastNestedLoopJoin) over only the
+# stragglers. Every shuffle scales with executors; AQE splits skewed cells.
 SNAP_LAT0_COS = 0.7229569579100136  # cos(43.7° · π/180) — AOI center
 _M_PER_DEG = 111_320.0
+# Radius ladder: round i's acceptance guarantee covers the data's tail by
+# round 3 at every tested SF (sf0.001 max snap dist ≈ 35 km < 48 km bound).
+SNAP_RADII_M = (1_000.0, 8_000.0, 48_000.0)
+# A round's best is provably the global argmin when its equirect distance is
+# ≤ 0.7·cell_edge·kx: covering_cells samples at res/2 spacing (the nearest
+# sample is within res/4 of the true foot point), ring-1 reaches ±1 cell, so
+# every segment within 0.75·res raw degrees of the probe is a candidate;
+# d_deg ≤ d_eq/kx keeps 0.7 strictly inside that bound.
+SNAP_ACCEPT_FACTOR = 0.7
 
 
-def q_snap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    img = base.images_df(spark, sf_dir)
-    ways = base.ways_df(spark, sf_dir)
-    segs = ways.select(
-        "way_id", "xs", "ys",
-        F.explode(F.sequence(F.lit(1), F.size("xs") - 1)).alias("k"),
-    ).select(
-        "way_id", "k",
-        F.element_at("xs", F.col("k")).alias("ax"),
-        F.element_at("ys", F.col("k")).alias("ay"),
-        F.element_at("xs", F.col("k") + 1).alias("bx"),
-        F.element_at("ys", F.col("k") + 1).alias("by"),
-    )
-    j = img.select("image_id", "lon", "lat").crossJoin(F.broadcast(segs))
-    # expression FORMS mirror the SQL exactly — (lon-ax)*kx, not lon*kx-ax*kx
-    # — algebraically equal forms differ at the ulp and flip argmin ties /
-    # floor boundaries between engines
+def _snap_refine_best(cand: DataFrame) -> DataFrame:
+    """Exact point→segment projection + per-image argmin over candidates
+    carrying (image_id, lon, lat, sid=struct(way_id,k), sxs=[ax,bx],
+    sys=[ay,by]).
+
+    Expression FORMS mirror the SQL exactly — (lon-ax)*kx, not lon*kx-ax*kx
+    — algebraically equal forms differ at the ulp and flip argmin ties /
+    floor boundaries between engines.
+    """
+    ax, ay = F.element_at("sxs", 1), F.element_at("sys", 1)
+    bx, by = F.element_at("sxs", 2), F.element_at("sys", 2)
     kx = F.lit(SNAP_LAT0_COS)
-    dx = (F.col("bx") - F.col("ax")) * kx
-    dy = F.col("by") - F.col("ay")
-    ex = (F.col("lon") - F.col("ax")) * kx
-    ey = F.col("lat") - F.col("ay")
+    dx = (bx - ax) * kx
+    dy = by - ay
+    ex = (F.col("lon") - ax) * kx
+    ey = F.col("lat") - ay
     seg2 = dx * dx + dy * dy
     t = F.when(seg2 == F.lit(0.0), F.lit(0.0)).otherwise(
         F.least(
@@ -779,20 +787,111 @@ def q_snap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0),
         )
     )
-    snap_lon = F.col("ax") + t * (F.col("bx") - F.col("ax"))
-    snap_lat = F.col("ay") + t * (F.col("by") - F.col("ay"))
+    snap_lon = ax + t * (bx - ax)
+    snap_lat = ay + t * (by - ay)
     d2 = (ex - t * dx) * (ex - t * dx) + (ey - t * dy) * (ey - t * dy)
-    best = (
-        j.select(
+    return (
+        cand.select(
             "image_id",
             F.struct(
-                d2.alias("d2"), F.col("way_id"), F.col("k"),
+                d2.alias("d2"),
+                F.col("sid.way_id").alias("way_id"),
+                F.col("sid.k").alias("k"),
                 t.alias("t"), snap_lon.alias("sx"), snap_lat.alias("sy"),
             ).alias("c"),
         )
         .groupBy("image_id")
         .agg(F.min("c").alias("b"))
     )
+
+
+def _snap_round_candidates(remaining: DataFrame, seg_geoms: DataFrame,
+                           radius_m: float) -> tuple[DataFrame, float]:
+    """One expansion round's candidate pairs + its acceptance bound (m)."""
+    from ..functions.cells import CellGrid
+    from ..operators import cell_join
+
+    grid = CellGrid.for_radius(radius_m, max_abs_lat=60.0)
+    accept_m = SNAP_ACCEPT_FACTOR * grid.res_deg * SNAP_LAT0_COS * _M_PER_DEG
+    cand = cell_join.candidate_pairs_fused(
+        remaining, seg_geoms, grid,
+        p_lon="lon", p_lat="lat", s_key="sid", s_xs="sxs", s_ys="sys",
+    )
+    return cand, accept_m
+
+
+def q_snap_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir)
+    ways = base.ways_df(spark, sf_dir)
+    seg_geoms = ways.select(
+        "way_id", "xs", "ys",
+        F.explode(F.sequence(F.lit(1), F.size("xs") - 1)).alias("k"),
+    ).select(
+        F.struct("way_id", "k").alias("sid"),
+        F.array(
+            F.element_at("xs", F.col("k")), F.element_at("xs", F.col("k") + 1)
+        ).alias("sxs"),
+        F.array(
+            F.element_at("ys", F.col("k")), F.element_at("ys", F.col("k") + 1)
+        ).alias("sys"),
+    )
+    remaining = img.select("image_id", "lon", "lat")
+    n_rem = remaining.count()
+    parts: list[DataFrame] = []
+    rem_handles: list[DataFrame] = []
+    for radius in SNAP_RADII_M:
+        if n_rem == 0:
+            break
+        cand, accept_m = _snap_round_candidates(remaining, seg_geoms, radius)
+        ok = _snap_refine_best(cand).filter(
+            F.sqrt(F.col("b.d2")) * F.lit(_M_PER_DEG) <= F.lit(accept_m)
+        ).persist()
+        parts.append(ok)
+        n_rem -= ok.count()  # the one action per round (fills ok's cache)
+        if n_rem == 0:
+            break
+        remaining = remaining.join(
+            ok.select("image_id"), "image_id", "left_anti"
+        ).persist()
+        rem_handles.append(remaining)
+    if n_rem > 0:
+        # isolated stragglers (no way inside the last guarantee): exhaustive
+        # scan of ONLY the remainder via a salted shuffled-hash equi-join —
+        # semantically the cartesian the argmin needs, but never a
+        # BroadcastNestedLoopJoin and never over the full corpus. The key is
+        # hashed from data (a literal key constant-folds to TRUE and Catalyst
+        # rewrites the join into the nested loop this query must not ship);
+        # salting over FB_SALT reducers spreads the straggler work.
+        fb_salt = 32
+        fb_cand = (
+            remaining.withColumn(
+                "__fb", F.pmod(F.xxhash64("image_id"), F.lit(fb_salt))
+            )
+            .hint("shuffle_hash")
+            .join(
+                seg_geoms.withColumn(
+                    "__fb",
+                    F.explode(F.sequence(F.lit(0), F.lit(fb_salt - 1))
+                              .cast("array<bigint>")),
+                ),
+                "__fb",
+            )
+            .drop("__fb")
+        )
+        fb = _snap_refine_best(fb_cand).persist()
+        fb.count()
+        parts.append(fb)
+    for h in rem_handles:
+        h.unpersist()
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            "image_id string, way_id bigint, seg_idx int, t_e6 bigint,"
+            " snap_lon_e9 bigint, snap_lat_e9 bigint, dist_mm bigint",
+        )
+    best = parts[0]
+    for p_ in parts[1:]:
+        best = best.unionByName(p_)
     return best.select(
         "image_id",
         F.col("b.way_id").alias("way_id"),

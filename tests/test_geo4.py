@@ -219,3 +219,62 @@ def test_snap_points_matches_numpy_projection(spark, sf_dir):
         assert g["snap_lon_e9"] == int(np.floor(sx * 1e9))
         assert g["snap_lat_e9"] == int(np.floor(sy * 1e9))
         assert g["dist_mm"] == int(np.floor(np.sqrt(d2) * 111320.0 * 1e3))
+
+
+def test_snap_points_plan_has_no_nested_loop(spark, sf_dir):
+    """Round-4 scale fix (r3 verdict #1): the snap must never ship the
+    broadcast cartesian over the full segment table. Every join in the
+    expansion ladder — including the straggler fallback — is an equi-join
+    (shuffled-hash cell join), so no BroadcastNestedLoopJoin / Cartesian
+    node may appear anywhere."""
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries import base, geo4
+
+    img = base.images_df(spark, sf_dir).select("image_id", "lon", "lat")
+    ways = base.ways_df(spark, sf_dir)
+    seg_geoms = ways.select(
+        "way_id", "xs", "ys",
+        F.explode(F.sequence(F.lit(1), F.size("xs") - 1)).alias("k"),
+    ).select(
+        F.struct("way_id", "k").alias("sid"),
+        F.array(F.element_at("xs", F.col("k")),
+                F.element_at("xs", F.col("k") + 1)).alias("sxs"),
+        F.array(F.element_at("ys", F.col("k")),
+                F.element_at("ys", F.col("k") + 1)).alias("sys"),
+    )
+    # one expansion round: shuffled-hash cell equi-join, probe not exploded
+    cand, _ = geo4._snap_round_candidates(img, seg_geoms, 1_000.0)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan
+    # the straggler fallback: salted hash-key equi-join, still no nested loop
+    fb = (
+        img.withColumn("__fb", F.pmod(F.xxhash64("image_id"), F.lit(32)))
+        .hint("shuffle_hash")
+        .join(
+            seg_geoms.withColumn(
+                "__fb",
+                F.explode(F.sequence(F.lit(0), F.lit(31)).cast("array<bigint>")),
+            ),
+            "__fb",
+        )
+        .drop("__fb")
+    )
+    fplan = fb._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in fplan
+    assert "CartesianProduct" not in fplan
+    assert "ShuffledHashJoin" in fplan
+
+
+def test_snap_points_fallback_path_is_exact(spark, sf_dir, monkeypatch):
+    """Force the ladder to run out (one tiny round) so nearly every image
+    exits through the constant-key fallback; the result must be row-for-row
+    identical to the normal ladder's (both are the exact global argmin)."""
+    from osm_merge_spark.queries import geo4
+
+    want = sorted(map(tuple, geo4.q_snap_points(spark, sf_dir).collect()))
+    monkeypatch.setattr(geo4, "SNAP_RADII_M", (50.0,))
+    got = sorted(map(tuple, geo4.q_snap_points(spark, sf_dir).collect()))
+    assert got == want
