@@ -76,16 +76,29 @@ def cosine_sql(a: str, b: str, dim: int) -> str:
 # brute-force top-k
 # ---------------------------------------------------------------------------
 def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                strategy: str | None = None) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     queries: (qid, qvec). Broadcast the (small) query side — every executor
-    scans its local embedding partitions once; the only shuffle is the
-    final per-qid top-k, already cut to k·partitions rows by the window's
-    partial evaluation.
+    scans its local embedding partitions once; only the per-qid top-k
+    selection shuffles. Two selection strategies, identical rows (the
+    ordering (-cos, nid) is a total order since nid is unique):
+
+      - "agg" (default): groupBy(qid).agg(slice(array_sort(collect_list(
+        struct(-cos, nid))), 1, k)) → ObjectHashAggregate; no SortExec, no
+        window machinery — the formulation the conflation ladder's top-5
+        proved out (knn.top_k_agg; r3 verdict item #2). The shuffle carries
+        16-byte (negcos, nid) structs only.
+      - "window": row_number over (qid | cos DESC, nid) — relies on
+        WindowGroupLimit's map-side partial limit to cut the shuffle to
+        k·partitions rows per qid. Kept measurable via SPARK_GRAFT_TOPK.
     """
+    import os
+
     from ..functions.barrier import eval_once
 
+    strategy = strategy or os.environ.get("SPARK_GRAFT_TOPK", "agg")
     # precompute each side's norm ONCE (N + Q evaluations) instead of
     # folding both norms again for every one of the N·Q pairs
     n_side = eval_once(
@@ -101,14 +114,37 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     scored = pairs.withColumn(
         "cos", _dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "qid", "nid", F.col("rank").cast("int").alias("rank"),
-            F.round("cos", 6).alias("cos"),
+    return _topk_by_cos(scored, k, strategy)
+
+
+def _topk_by_cos(scored: DataFrame, k: int, strategy: str) -> DataFrame:
+    """Per-qid (cos DESC, nid ASC) top-k over (qid, nid, cos) rows — rows
+    identical across strategies because (-cos, nid) is a total order."""
+    if strategy == "window":
+        w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "qid", "nid", F.col("rank").cast("int").alias("rank"),
+                F.round("cos", 6).alias("cos"),
+            )
         )
+    # agg: ascending struct (-cos, nid) == (cos DESC, nid ASC); the double
+    # negation is a sign-bit flip, bit-exact, so round(-nc, 6) matches the
+    # window path's round(cos, 6)
+    agg = (
+        scored.select(
+            "qid", F.struct((-F.col("cos")).alias("nc"), F.col("nid")).alias("c")
+        )
+        .groupBy("qid")
+        .agg(F.slice(F.array_sort(F.collect_list("c")), 1, k).alias("top"))
+    )
+    return agg.select("qid", F.posexplode("top").alias("pos", "t")).select(
+        "qid",
+        F.col("t.nid").alias("nid"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.round(-F.col("t.nc"), 6).alias("cos"),
     )
 
 
@@ -470,12 +506,18 @@ def cosine_q8(qa: Column, qb: Column) -> Column:
 
 
 def q8_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            strategy: str | None = None) -> DataFrame:
     """Exact top-k under the SQ8 scorer: quantize both sides, broadcast the
-    (small) query side, integer dots per pair, per-qid top-k. The corpus
-    side carries ONLY (id, int8 array, norm) through the join — the float
-    vectors never leave their scan."""
+    (small) query side, integer dots per pair, per-qid top-k (same two
+    selection strategies as cosine_topk; default agg — no window sort). The
+    corpus side carries ONLY (id, int8 array, norm) through the join — the
+    float vectors never leave their scan."""
+    import os
+
     from ..functions.barrier import eval_once
+
+    strategy = strategy or os.environ.get("SPARK_GRAFT_TOPK", "agg")
 
     def _q(df: DataFrame, idc: str, vecc: str, pre: str) -> DataFrame:
         qv, _ = quantize8(F.col(vecc))
@@ -496,12 +538,4 @@ def q8_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         _doti(F.col("qq"), F.col("nq")).cast("double")
         / (F.col("qn") * F.col("nn")),
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "qid", "nid", F.col("rank").cast("int").alias("rank"),
-            F.round("cos", 6).alias("cos"),
-        )
-    )
+    return _topk_by_cos(scored, k, strategy)
