@@ -113,37 +113,46 @@ def kept_indices_sql(xs: str, ys: str, eps_m2: float,
 # pure per-row projection — no shuffle, scales embarrassingly at 10^12 ways.
 # The reference reaches the same operation through shapely's
 # geometry.simplify (GEOS DP) when preparing small fieldwork payloads.
-def dp_keep_mask(x, y, eps: float):
-    """numpy reference DP: boolean keep-mask over one polyline (meters)."""
+def dp_keep_mask(x, y, eps: float, max_depth: int | None = None):
+    """numpy reference DP: boolean keep-mask over one polyline (meters).
+
+    max_depth=None is classic unbounded DP. A fixed max_depth bounds the
+    recursion (an interval at depth d splits only while d < max_depth) —
+    the depth-limited contract the DuckDB recursive-CTE oracle replays
+    exactly (queries/geo5.py). Expression forms mirror that SQL: the
+    degenerate-chord branch is sqrt(px²+py²), not np.hypot (hypot rounds
+    differently and would break oracle bit-equality if ever hit)."""
     import numpy as np
 
     n = len(x)
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[n - 1] = True
-    stack = [(0, n - 1)]
+    stack = [(0, n - 1, 0)]
     while stack:
-        i, j = stack.pop()
-        if j <= i + 1:
+        i, j, depth = stack.pop()
+        if j <= i + 1 or (max_depth is not None and depth >= max_depth):
             continue
         dx, dy = x[j] - x[i], y[j] - y[i]
         seg2 = dx * dx + dy * dy
         px, py = x[i + 1:j] - x[i], y[i + 1:j] - y[i]
         if seg2 == 0.0:
-            d = np.hypot(px, py)
+            d = np.sqrt(px * px + py * py)
         else:
             d = np.abs(px * dy - py * dx) / np.sqrt(seg2)
         k = int(d.argmax())
         if d[k] > eps:
             ki = i + 1 + k
             keep[ki] = True
-            stack.append((i, ki))
-            stack.append((ki, j))
+            stack.append((i, ki, depth + 1))
+            stack.append((ki, j, depth + 1))
     return keep
 
 
-def dp_kept_indices_udf(eps_m: float, mx: float = MX, my: float = MY):
+def dp_kept_indices_udf(eps_m: float, mx: float = MX, my: float = MY,
+                        max_depth: int | None = None):
     """pandas_udf (array<double>, array<double>) -> array<int> of 1-based
-    kept indices under Douglas–Peucker with tolerance eps_m meters."""
+    kept indices under Douglas–Peucker with tolerance eps_m meters
+    (optionally depth-limited — see dp_keep_mask)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -156,7 +165,7 @@ def dp_kept_indices_udf(eps_m: float, mx: float = MX, my: float = MY):
             if len(x) <= 2:
                 out.append(list(range(1, len(x) + 1)))
                 continue
-            keep = dp_keep_mask(x, y, eps_m)
+            keep = dp_keep_mask(x, y, eps_m, max_depth)
             out.append((np.flatnonzero(keep) + 1).tolist())
         return pd.Series(out)
 

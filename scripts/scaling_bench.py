@@ -129,6 +129,13 @@ def main() -> int:
     ap.add_argument("--input", default=None, help="reuse a synth dir")
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument(
+        "--pin-factor", type=int, default=1,
+        help="pin local[k] to k*pin_factor cores; 2 = the driver-decoupled"
+             " variant (BASELINE.md §5.4): same k executor threads, but"
+             " driver, GC, and Python workers get spare cores, like a real"
+             " cluster's separate driver node",
+    )
     args = ap.parse_args()
 
     if args.worker:
@@ -145,13 +152,15 @@ def main() -> int:
 
         results: dict[str, dict] = {}
         for cores in levels:
+            n_pin = min(cores * args.pin_factor, os.cpu_count() or cores)
             cmd = [
-                "taskset", "-c", f"0-{cores - 1}",
+                "taskset", "-c", f"0-{n_pin - 1}",
                 sys.executable, os.path.abspath(__file__),
                 "--worker", "--cores", str(cores), "--n", str(args.n),
                 "--reps", str(args.reps), "--input", tmp,
             ]
-            print(f"running pinned local[{cores}] ...", file=sys.stderr)
+            print(f"running local[{cores}] @ {n_pin}-core pin ...",
+                  file=sys.stderr)
             out = subprocess.run(cmd, capture_output=True, text=True,
                                  cwd=REPO, check=True)
             line = [ln for ln in out.stdout.splitlines()
