@@ -29,6 +29,11 @@ HEADLINE = [
     "aoi_clip",
     "dedup_minhash_pairs",
     "ann_cosine_topk",
+    # the fused LLM-pipeline capstone (decode → pHash → banded near-dup →
+    # quality gates → shard assignment) — driver-tracked since r4 so its
+    # round-over-round trend is in the official artifacts (r3 verdict #7;
+    # ad-hoc r3 measurement: 2.68 s)
+    "image_dedup_assemble",
 ]
 
 

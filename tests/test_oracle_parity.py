@@ -86,3 +86,21 @@ def test_entry_smoke(spark):
     rows = df.limit(5).collect()
     assert df.schema is not None
     assert len(rows) >= 0
+
+
+def test_entry_runs_mixed_geometry_ladder(spark):
+    """The flagship must exercise BOTH conflation branches (scalar-point
+    cell join AND covering-cells + polyline refine) plus the multipart
+    explode — r3 verdict #5. Plan shows the union; data shows line-feature
+    wins (planted segments pass through part positions)."""
+    from pyspark.sql import functions as F
+
+    df = contract.entry(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    # multipart explode_parts runs posexplode of part ranges
+    assert "Generate" in plan or "posexplode" in plan.lower()
+    n_line = df.filter(F.col("feature_id") >= 100_000_000).count()
+    n_pt = df.filter(F.col("feature_id") < 100_000_000).count()
+    assert n_line > 0, "no planted line feature ever won a match"
+    assert n_pt > 0, "point branch produced nothing"
