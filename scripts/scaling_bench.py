@@ -96,12 +96,23 @@ def _worker(args) -> None:
 
     run()  # warmup (JVM/JIT/codegen caches)
     release_dead_shuffles()
+    # convergence-based reps (same discipline as bench.py run_once, the
+    # r2-verdict-mandated protocol): C2 JIT + the Arrow worker pool take a
+    # variable number of executions to converge, and co-tenant noise means
+    # a fixed rep count can leave the min 40% above the converged floor
+    # (observed r4: 8-core walls 173.7 → 120.8 across 3 reps). Keep timing
+    # fresh plans until the running min stops improving by >8% for two
+    # consecutive reps (min --reps, cap --max-reps).
     walls, n_out = [], 0
-    for _ in range(args.reps):
+    best, stale = float("inf"), 0
+    while len(walls) < args.max_reps:
         w, n_out = run()
         walls.append(w)
         release_dead_shuffles()
-    best = min(walls)
+        stale = stale + 1 if w > best * 0.92 else 0
+        best = min(best, w)
+        if len(walls) >= args.reps and stale >= 2:
+            break
     print(json.dumps({
         "cores": args.cores, "wall_s": round(best, 2),
         "walls": [round(w, 2) for w in walls], "matched": n_out,
@@ -126,6 +137,8 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=2_000_000)
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--max-reps", type=int, default=6,
+                    help="cap for the convergence-based rep loop")
     ap.add_argument("--input", default=None, help="reuse a synth dir")
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cores", type=int, default=8)
@@ -157,7 +170,8 @@ def main() -> int:
                 "taskset", "-c", f"0-{n_pin - 1}",
                 sys.executable, os.path.abspath(__file__),
                 "--worker", "--cores", str(cores), "--n", str(args.n),
-                "--reps", str(args.reps), "--input", tmp,
+                "--reps", str(args.reps), "--max-reps", str(args.max_reps),
+                "--input", tmp,
             ]
             print(f"running local[{cores}] @ {n_pin}-core pin ...",
                   file=sys.stderr)
