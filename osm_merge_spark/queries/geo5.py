@@ -122,6 +122,32 @@ def _decode_channel_sums(images: DataFrame) -> DataFrame:
     )
 
 
+def _decoded_bytes_cte() -> str:
+    """CTE chain `imgs → xs → wd → pxb → dec`: for every image i (from an
+    `imgs(i)` CTE the caller prepends), every decoded byte as (i, p, dv)
+    where p is the byte position in row-major (h, w, 3) layout and dv the
+    DECODED value — splitmix64 replayed in 32-bit-half SQL arithmetic, then
+    the codec's effect: PNG is lossless; QNT (i%3=0) dequantizes to bin
+    centers (v//6)*6+3, always in [3,255] so the clip is identity."""
+    n_bytes = TIS_W * TIS_H * 3
+    n_words = n_bytes // 8  # 768 % 8 == 0: the generator's +1 pad word is
+    #                         sliced off before it contributes any byte
+    wh, wl = _splitmix_word_sql("x")
+    return (
+        f"xs AS (SELECT i, j, CAST(i AS BIGINT) * 2654435761 + 1 + j AS x"
+        f" FROM imgs, range({n_words}) w(j)), "
+        f"wd AS (SELECT i, j, {wh} AS wh, {wl} AS wl FROM xs), "
+        # little-endian byte t of word j = byte position p = 8j + t
+        f"pxb AS (SELECT i, 8 * j + t AS p,"
+        f" CASE WHEN t < 4 THEN (wl // CAST(power(256, t) AS BIGINT)) % 256"
+        f" ELSE (wh // CAST(power(256, t - 4) AS BIGINT)) % 256 END AS v"
+        f" FROM wd, range(8) r(t)), "
+        f"dec AS (SELECT i, p,"
+        f" CASE WHEN i % 3 = 0 THEN (v // 6) * 6 + 3 ELSE v END AS dv"
+        f" FROM pxb)"
+    )
+
+
 def q_tile_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..data import synth
 
@@ -142,29 +168,13 @@ def q_tile_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_tile_image_stats() -> str:
     from ..data import synth
 
-    # --- pixel channel sums: splitmix64 replay --------------------------
-    n_bytes = TIS_W * TIS_H * 3
-    n_words = n_bytes // 8  # 768 % 8 == 0: the generator's +1 pad word is
-    #                         sliced off before it contributes any byte
-    wh, wl = _splitmix_word_sql("x")
+    # --- pixel channel sums: splitmix64 replay (channel = p % 3) --------
     sums = (
-        f"xs AS (SELECT i, j, CAST(i AS BIGINT) * 2654435761 + 1 + j AS x"
-        f" FROM imgs, range({n_words}) w(j)), "
-        f"wd AS (SELECT i, j, {wh} AS wh, {wl} AS wl FROM xs), "
-        # little-endian byte t of word j = byte position p = 8j + t
-        f"pxb AS (SELECT i, (8 * j + t) % 3 AS ch,"
-        f" CASE WHEN t < 4 THEN (wl // CAST(power(256, t) AS BIGINT)) % 256"
-        f" ELSE (wh // CAST(power(256, t - 4) AS BIGINT)) % 256 END AS v"
-        f" FROM wd, range(8) r(t)), "
-        # decode: png is lossless; qnt (i%3=0) dequantizes to bin centers
-        # (v//6)*6+3 — always in [3,255], so the codec's clip is identity
-        f"dec AS (SELECT i, ch,"
-        f" CASE WHEN i % 3 = 0 THEN (v // 6) * 6 + 3 ELSE v END AS dv"
-        f" FROM pxb), "
+        f"{_decoded_bytes_cte()}, "
         f"sums AS (SELECT i,"
-        f" CAST(sum(dv) FILTER (ch = 0) AS BIGINT) AS sr,"
-        f" CAST(sum(dv) FILTER (ch = 1) AS BIGINT) AS sg,"
-        f" CAST(sum(dv) FILTER (ch = 2) AS BIGINT) AS sb"
+        f" CAST(sum(dv) FILTER (p % 3 = 0) AS BIGINT) AS sr,"
+        f" CAST(sum(dv) FILTER (p % 3 = 1) AS BIGINT) AS sg,"
+        f" CAST(sum(dv) FILTER (p % 3 = 2) AS BIGINT) AS sb"
         f" FROM dec GROUP BY i)"
     )
     # --- positions: data/synth._position mirror -------------------------
@@ -201,6 +211,158 @@ def _sql_tile_image_stats() -> str:
 
 
 QUERIES["tile_image_stats"] = (q_tile_image_stats, _sql_tile_image_stats())
+
+
+# ---------------------------------------------------------------------------
+# image_sharpness — gradient-energy blur gate over REAL decoded pixels
+# ---------------------------------------------------------------------------
+# The classic training-data quality filter (variance-of-Laplacian family):
+# drop blurry/flat images before they enter the corpus. Here the score is
+# integer gradient energy — sum over |v(x+1,y,c) − v(x,y,c)| of the decoded
+# image — so both engines compute it EXACTLY (no float reduction order).
+# QNT dequantizes to bin centers, so every QNT image's score is a
+# multiple of 6 (bin-center diffs are) while PNG scores keep arbitrary
+# residues — an invariant that only holds if the gate reads the DECODED
+# bytes, i.e. it sees the real codec, not the generator. 100 TB story: pixels reduce to one long
+# per image executor-side inside mapInPandas (bytes never shuffle); the
+# gate itself is a scalar predicate.
+SHARP_MIN = 61_100  # ≈ E|ΔU8|·720 pairs; straddles the synth distribution
+
+
+def q_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..data import synth
+
+    img = synth.synth_images(spark, TIS_N, with_bytes=True)
+
+    def run(batches):
+        import numpy as np
+
+        from ..data import images as codec
+
+        for pdf in batches:
+            out = {"image_id": [], "grad_e": []}
+            for iid, buf, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                     pdf["fmt"]):
+                px = codec.decode(bytes(buf), fmt).astype(np.int64)
+                g = int(np.abs(np.diff(px, axis=1)).sum())
+                out["image_id"].append(iid)
+                out["grad_e"].append(g)
+            yield pd.DataFrame(out)
+
+    scored = img.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema="image_id string, grad_e long"
+    )
+    return scored.select(
+        "image_id", "grad_e",
+        (F.col("grad_e") >= F.lit(SHARP_MIN)).alias("keep"),
+    )
+
+
+def _sql_image_sharpness() -> str:
+    # horizontal neighbor of byte p (pixel q = p//3, x = q % W, channel
+    # p%3) is byte p+3; valid while x < W-1
+    return (
+        f"WITH imgs AS (SELECT CAST(i AS BIGINT) AS i"
+        f" FROM range({TIS_N}) t(i)), "
+        f"{_decoded_bytes_cte()}, "
+        f"grad AS (SELECT a.i, CAST(sum(abs(b.dv - a.dv)) AS BIGINT) AS grad_e"
+        f" FROM dec a JOIN dec b ON b.i = a.i AND b.p = a.p + 3"
+        f" WHERE (a.p // 3) % {TIS_W} < {TIS_W - 1}"
+        f" GROUP BY a.i) "
+        f"SELECT 'img-' || CAST(i AS VARCHAR) AS image_id, grad_e,"
+        f" grad_e >= {SHARP_MIN} AS keep FROM grad"
+    )
+
+
+QUERIES["image_sharpness"] = (q_image_sharpness, _sql_image_sharpness())
+
+
+# ---------------------------------------------------------------------------
+# augment_checksum — deterministic augmentation fan-out, oracle-checked
+# ---------------------------------------------------------------------------
+# operators/augment.augment_images was pytest-only (round-trip identities);
+# this promotes it to the oracle gate end-to-end: synth → encode → decode →
+# apply view → RE-ENCODE → decode again → position-weighted checksum
+# Σ (p'+1)·v over the augmented bytes. Every view is an exact pixel-index
+# permutation/selection, so the DuckDB oracle computes the same checksum
+# directly from the generator's decoded bytes with the permutation folded
+# into the weight: weight(x,y,c) = output byte position under the view.
+# The re-encode leg is covered because PNG is lossless and QNT is
+# idempotent on bin centers — any instability there breaks the hash.
+# 100 TB story: fan-out is a pure mapInPandas projection (one input row →
+# ≤5 output rows, no shuffle); the checksum reduces pixels to one long
+# executor-side.
+_AUG_W, _AUG_H = TIS_W, TIS_H
+_CROP = _AUG_W // 4  # crop offset for CROP_FRAC=2 on 16×16 → y0=x0=4
+
+
+def q_augment_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..data import synth
+    from ..operators.augment import augment_images
+
+    img = synth.synth_images(spark, TIS_N, with_bytes=True)
+    aug = augment_images(img)
+
+    def run(batches):
+        import numpy as np
+
+        from ..data import images as codec
+
+        for pdf in batches:
+            out = {"image_id": [], "aug": [], "n_bytes": [], "checksum": []}
+            for iid, a, buf, fmt in zip(pdf["image_id"], pdf["aug"],
+                                        pdf["bytes"], pdf["fmt"]):
+                px = codec.decode(bytes(buf), fmt).astype(np.int64).ravel()
+                out["image_id"].append(iid)
+                out["aug"].append(a)
+                out["n_bytes"].append(len(px))
+                out["checksum"].append(
+                    int(((np.arange(len(px)) + 1) * px).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return aug.mapInPandas(
+        run, schema="image_id string, aug string, n_bytes long, checksum long"
+    )
+
+
+def _sql_augment_checksum() -> str:
+    W, H, C = _AUG_W, _AUG_H, _CROP
+    # source byte p → (x, y, c); weight = output position + 1 under the view
+    x, y, c = f"((p // 3) % {W})", f"(p // {3 * W})", "(p % 3)"
+    wexpr = (
+        f"CASE aug"
+        f" WHEN 'identity' THEN p + 1"
+        f" WHEN 'hflip' THEN 3 * ({y} * {W} + ({W - 1} - {x})) + {c} + 1"
+        f" WHEN 'vflip' THEN 3 * (({H - 1} - {y}) * {W} + {x}) + {c} + 1"
+        # np.rot90 (CCW): out[y', x'] = in[x', W-1-y']  ⇒  src (x, y) lands
+        # at y' = W-1-x, x' = y on an (W, H)-shaped output
+        f" WHEN 'rot90' THEN 3 * (({W - 1} - {x}) * {H} + {y}) + {c} + 1"
+        f" WHEN 'crop' THEN CASE WHEN {x} >= {C} AND {x} < {W - C}"
+        f"  AND {y} >= {C} AND {y} < {H - C}"
+        f"  THEN 3 * (({y} - {C}) * {W // 2} + ({x} - {C})) + {c} + 1"
+        f"  END"
+        f" END"
+    )
+    return (
+        f"WITH imgs AS (SELECT CAST(i AS BIGINT) AS i"
+        f" FROM range({TIS_N}) t(i)), "
+        f"{_decoded_bytes_cte()}, "
+        f"views AS (SELECT unnest(['identity','hflip','vflip','rot90',"
+        f"'crop']) AS aug), "
+        f"wtd AS (SELECT i, aug, {wexpr} AS wt, dv FROM dec, views) "
+        f"SELECT 'img-' || CAST(i AS VARCHAR) AS image_id, aug,"
+        f" CAST(count(*) AS BIGINT) AS n_bytes,"
+        f" CAST(sum(wt * dv) AS BIGINT) AS checksum"
+        f" FROM wtd WHERE wt IS NOT NULL GROUP BY i, aug"
+    )
+
+
+QUERIES["augment_checksum"] = (q_augment_checksum, _sql_augment_checksum())
 
 
 # ---------------------------------------------------------------------------
