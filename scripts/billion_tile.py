@@ -34,6 +34,15 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--tile-m", type=float, default=2_000.0)
+    ap.add_argument(
+        "--table", default=None, metavar="DIR",
+        help="materialize (lon, lat) to parquet at DIR once and time"
+             " scan → assign → agg instead of fusing the synth into the"
+             " timed plan — the md5-based position synthesis costs ~6× the"
+             " assignment itself, so the fused wall measures the generator;"
+             " the table mode measures the operator the metric names"
+             " (parquet scan pruned to 2 columns + floor-arith key + agg)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -53,14 +62,27 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     grid = TileGrid(tile_m=args.tile_m)
 
+    if args.table:
+        src = f"{args.table}/positions"
+        if not os.path.exists(src):
+            df = spark.range(args.n).withColumnRenamed("id", "i")
+            lon, lat = _position(F.col("i"), _hot_spread(args.n))
+            df.select(lon.alias("lon"), lat.alias("lat")).write.mode(
+                "overwrite"
+            ).parquet(src)
+
     def plan():
-        df = spark.range(args.n).withColumnRenamed("id", "i")
-        lon, lat = _position(F.col("i"), _hot_spread(args.n))
+        if args.table:
+            pos = spark.read.parquet(f"{args.table}/positions")
+            lon, lat = F.col("lon"), F.col("lat")
+        else:
+            pos = spark.range(args.n).withColumnRenamed("id", "i")
+            lon, lat = _position(F.col("i"), _hot_spread(args.n))
         # per-tile count: forces every row through the tile key and one
         # partial-agg shuffle (map-side combine reduces 10^9 rows to
         # |tiles| per task before the exchange)
         return (
-            df.select(grid.tile_id(lon, lat).alias("tile_id"))
+            pos.select(grid.tile_id(lon, lat).alias("tile_id"))
             .groupBy("tile_id").count()
         )
 
