@@ -151,3 +151,105 @@ def table_exists(spark: SparkSession, target: str) -> bool:
     import os
 
     return os.path.exists(target)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot commits + time travel (the Iceberg feature set, on the seam)
+# ---------------------------------------------------------------------------
+# Iceberg's core contract is not the file format — it is snapshot isolation:
+# every commit is a new immutable snapshot, readers pin one, old snapshots
+# stay readable until expired. commit_table() above REPLACES the target;
+# these functions implement the retained-snapshot contract on plain
+# parquet + a JSON log, so `VERSION AS OF` / `TIMESTAMP AS OF` semantics
+# (and the delta-conflation diff between two table states) work without the
+# runtime jar. Single-writer by design — the same model as plans/pipeline's
+# stage commits; a production deployment swaps this for the real catalog,
+# whose optimistic-concurrency commit protocol this seam's API mirrors.
+#
+# Layout:  <target>/snap-v<N>/part-*.parquet   immutable snapshot data
+#          <target>/_snaplog.jsonl             append-only snapshot log
+#          <target>/_current                   atomic pointer (os.replace)
+
+def commit_snapshot(df: DataFrame, target: str,
+                    partition_by: list[str] | None = None) -> int:
+    """Write df as a NEW snapshot of target and atomically advance the
+    current pointer. Returns the snapshot version. Crash-safe: a failure
+    before the pointer swap leaves the previous snapshot current and the
+    half-written snap dir unreferenced (re-commit overwrites it)."""
+    import json
+    import os
+    import time
+
+    os.makedirs(target, exist_ok=True)
+    v = max((s["v"] for s in snapshots(target)), default=0) + 1
+    path = os.path.join(target, f"snap-v{v}")
+    write_table(df, path, partition_by)
+    with open(os.path.join(target, "_snaplog.jsonl"), "a") as f:
+        f.write(json.dumps({"v": v, "ts": time.time(), "path": path}) + "\n")
+    tmp = os.path.join(target, "_current.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(target, "_current"))
+    return v
+
+
+def snapshots(target: str) -> list[dict]:
+    """The snapshot log, oldest first (expired entries removed)."""
+    import json
+    import os
+
+    log = os.path.join(target, "_snaplog.jsonl")
+    if not os.path.exists(log):
+        return []
+    with open(log) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def read_snapshot(spark: SparkSession, target: str,
+                  version: int | None = None,
+                  as_of: float | None = None) -> DataFrame:
+    """Time travel: current snapshot by default, `VERSION AS OF` with
+    version=N, `TIMESTAMP AS OF` with as_of=unix-seconds (the latest
+    snapshot committed at or before that instant)."""
+    import os
+
+    snaps = snapshots(target)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots at {target}")
+    if version is None and as_of is None:
+        with open(os.path.join(target, "_current")) as f:
+            version = int(f.read().strip())
+    if version is None:
+        eligible = [s for s in snaps if s["ts"] <= as_of]
+        if not eligible:
+            raise LookupError(f"no snapshot at or before {as_of}")
+        version = eligible[-1]["v"]
+    match = [s for s in snaps if s["v"] == version]
+    if not match:
+        raise LookupError(f"snapshot v{version} not found (expired?)")
+    return spark.read.parquet(match[0]["path"])
+
+
+def expire_snapshots(target: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest keep_last snapshots (never the current
+    pointer's). Returns the expired versions. The log rewrite happens
+    AFTER the data deletes, so a crash mid-expire leaves only already-
+    deleted entries to clean on the next call."""
+    import json
+    import os
+    import shutil
+
+    snaps = snapshots(target)
+    with open(os.path.join(target, "_current")) as f:
+        cur = int(f.read().strip())
+    keep = {s["v"] for s in snaps[-keep_last:]} | {cur}
+    expired = [s for s in snaps if s["v"] not in keep]
+    for s in expired:
+        shutil.rmtree(s["path"], ignore_errors=True)
+    kept = [s for s in snaps if s["v"] in keep]
+    tmp = os.path.join(target, "_snaplog.tmp")
+    with open(tmp, "w") as f:
+        for s in kept:
+            f.write(json.dumps(s) + "\n")
+    os.replace(tmp, os.path.join(target, "_snaplog.jsonl"))
+    return [s["v"] for s in expired]

@@ -1,0 +1,102 @@
+"""Z-order bucketed layout: partition pruning must be visible in the plan
+AND in the files actually read, with zero correctness loss vs a full scan."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from osm_merge_spark.operators import layout
+from osm_merge_spark.queries import base
+
+
+BBOX = (-108.9, 43.5, -108.6, 43.75)  # interior slice of the synth AOI
+
+
+def _source(spark, sf_dir):
+    return base.images_df(spark, sf_dir).select("image_id", "lon", "lat")
+
+
+def test_bbox_read_prunes_partitions_and_matches_full_scan(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "zlayout")
+    src = _source(spark, sf_dir)
+    layout.write_zordered(src, out)
+
+    pruned = layout.read_bbox(spark, out, *BBOX)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "zb" in plan
+
+    # correctness: identical rows to the unpruned predicate
+    want = sorted(
+        r["image_id"] for r in src.filter(
+            (F.col("lon") >= BBOX[0]) & (F.col("lon") <= BBOX[2])
+            & (F.col("lat") >= BBOX[1]) & (F.col("lat") <= BBOX[3])
+        ).collect()
+    )
+    got = sorted(r["image_id"] for r in pruned.collect())
+    assert got == want and len(got) > 0
+
+    # pruning is real: the scan node selects strictly fewer directory
+    # partitions than the layout has (inputFiles() ignores filters, so ask
+    # the FileSourceScanExec itself)
+    n_dirs = len({f.split("/zb=")[1].split("/")[0]
+                  for f in spark.read.parquet(out).inputFiles()})
+    leaves = pruned._jdf.queryExecution().executedPlan().collectLeaves()
+    scan = None
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if "FileSourceScan" in node.getClass().getName():
+            scan = node
+            break
+    assert scan is not None, "no file scan leaf found"
+    # the collect() above executed the scan, so its SQL metrics are final:
+    # numPartitions = directory partitions actually selected post-pruning
+    n_selected = int(scan.metrics().apply("numPartitions").value())
+    assert 0 < n_selected < n_dirs
+    meta = layout.layout_meta(out)
+    bks = set(layout.buckets_for_bbox(
+        *BBOX, lon_range=tuple(meta["lon_range"]),
+        lat_range=tuple(meta["lat_range"]),
+    ))
+    assert n_selected <= len(bks)
+
+
+def test_bucket_enumeration_covers_every_row(spark, sf_dir, tmp_path):
+    """No bucket containing a bbox row may be pruned: for every row inside
+    the bbox, its zbucket must be in buckets_for_bbox (completeness of the
+    driver-side footprint math — the property pruning correctness rests on)."""
+    out = str(tmp_path / "zcover")
+    src = _source(spark, sf_dir)
+    layout.write_zordered(src, out)
+    meta = layout.layout_meta(out)
+    lon_r, lat_r = tuple(meta["lon_range"]), tuple(meta["lat_range"])
+    inside = src.filter(
+        (F.col("lon") >= BBOX[0]) & (F.col("lon") <= BBOX[2])
+        & (F.col("lat") >= BBOX[1]) & (F.col("lat") <= BBOX[3])
+    ).select(
+        layout.zbucket(F.col("lon"), F.col("lat"), lon_r, lat_r).alias("zb")
+    ).distinct()
+    row_buckets = {r["zb"] for r in inside.collect()}
+    assert row_buckets <= set(
+        layout.buckets_for_bbox(*BBOX, lon_range=lon_r, lat_range=lat_r)
+    )
+
+
+def test_files_internally_sorted_by_zkey(spark, sf_dir, tmp_path):
+    """Rows within each written file must be Morton-sorted so row-group
+    min/max stats are tight (the second pruning level)."""
+    from osm_merge_spark.functions import zorder
+
+    out = str(tmp_path / "zsorted")
+    layout.write_zordered(_source(spark, sf_dir), out)
+    meta = layout.layout_meta(out)
+    lon_r, lat_r = tuple(meta["lon_range"]), tuple(meta["lat_range"])
+    files = spark.read.parquet(out).inputFiles()
+    checked = 0
+    for one in files[:5]:
+        df = spark.read.parquet(one).withColumn(
+            "k", zorder.zorder_key(F.col("lon"), F.col("lat"), lon_r, lat_r)
+        )
+        ks = [r["k"] for r in df.collect()]
+        assert ks == sorted(ks)
+        checked += len(ks)
+    assert checked > 1

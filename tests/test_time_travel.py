@@ -1,0 +1,55 @@
+"""Snapshot commits + time travel on the table seam (sources/tables.py):
+the Iceberg contract — immutable snapshots, version/timestamp reads,
+crash-safe pointer, expiry — on plain parquet + a JSON log."""
+
+from __future__ import annotations
+
+import pytest
+
+from osm_merge_spark.sources import tables
+
+
+def _df(spark, n):
+    return spark.range(n).withColumnRenamed("id", "k")
+
+
+def test_version_and_timestamp_travel(spark, tmp_path):
+    tgt = str(tmp_path / "tbl")
+    v1 = tables.commit_snapshot(_df(spark, 3), tgt)
+    t_between = tables.snapshots(tgt)[-1]["ts"] + 1e-4
+    v2 = tables.commit_snapshot(_df(spark, 7), tgt)
+    assert (v1, v2) == (1, 2)
+
+    assert tables.read_snapshot(spark, tgt).count() == 7           # current
+    assert tables.read_snapshot(spark, tgt, version=1).count() == 3
+    assert tables.read_snapshot(spark, tgt, as_of=t_between).count() == 3
+    with pytest.raises(LookupError):
+        tables.read_snapshot(spark, tgt, as_of=0.0)  # before first commit
+
+
+def test_crash_before_pointer_swap_keeps_previous_current(spark, tmp_path):
+    """A half-written snapshot (data present, log/pointer not advanced)
+    must be invisible to readers and safely overwritten by the next
+    commit — the commit point is the pointer swap, not the data write."""
+    import os
+
+    tgt = str(tmp_path / "tbl")
+    tables.commit_snapshot(_df(spark, 5), tgt)
+    # simulate the crash: data for v2 lands, log + pointer never advance
+    tables.write_table(_df(spark, 99), os.path.join(tgt, "snap-v2"))
+    assert tables.read_snapshot(spark, tgt).count() == 5
+    assert [s["v"] for s in tables.snapshots(tgt)] == [1]
+    v2 = tables.commit_snapshot(_df(spark, 8), tgt)
+    assert v2 == 2
+    assert tables.read_snapshot(spark, tgt).count() == 8
+
+
+def test_expire_keeps_current_and_drops_history(spark, tmp_path):
+    tgt = str(tmp_path / "tbl")
+    for n in (2, 4, 6):
+        tables.commit_snapshot(_df(spark, n), tgt)
+    expired = tables.expire_snapshots(tgt, keep_last=1)
+    assert expired == [1, 2]
+    assert tables.read_snapshot(spark, tgt).count() == 6
+    with pytest.raises(LookupError):
+        tables.read_snapshot(spark, tgt, version=1)
