@@ -53,3 +53,45 @@ def test_expire_keeps_current_and_drops_history(spark, tmp_path):
     assert tables.read_snapshot(spark, tgt).count() == 6
     with pytest.raises(LookupError):
         tables.read_snapshot(spark, tgt, version=1)
+
+
+def test_snapshot_diff_feeds_incremental_conflation(spark, sf_dir, tmp_path):
+    """The time-travel story composing with the delta-conflation story:
+    two committed layer snapshots diff (exceptAll on content) into exactly
+    the changed/new feature set — the increment the pruned conflation path
+    (queries/geo4.q_conflate_delta) consumes instead of rebuilding the
+    world. At 10^12 rows both reads are snapshot-pinned parquet scans and
+    the diff is one shuffled-hash anti semantics, never a table rewrite."""
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries import base
+
+    lyr = base.layer_df(spark, sf_dir).select(
+        "feature_id", "version", "s_lon", "s_lat"
+    )
+    v1_df = lyr.filter(F.col("feature_id") % 2 == 0)
+    v2_df = lyr.withColumn(
+        "version",
+        F.when(F.col("feature_id") % 10 == 0,
+               F.col("version") + 1).otherwise(F.col("version")),
+    )
+    tgt = str(tmp_path / "layer_tbl")
+    tables.commit_snapshot(v1_df, tgt)
+    tables.commit_snapshot(v2_df, tgt)
+
+    old = tables.read_snapshot(spark, tgt, version=1)
+    new = tables.read_snapshot(spark, tgt, version=2)
+    delta = new.exceptAll(old)
+
+    n_total = lyr.count()
+    n_odd = lyr.filter(F.col("feature_id") % 2 == 1).count()
+    n_bumped_even = lyr.filter(
+        (F.col("feature_id") % 10 == 0) & (F.col("feature_id") % 2 == 0)
+    ).count()
+    # delta = every odd feature (absent from v1) + every even feature whose
+    # version was bumped (content changed)
+    assert delta.count() == n_odd + n_bumped_even
+    assert 0 < delta.count() < n_total
+    # and the delta contains no unchanged row
+    assert delta.join(old, ["feature_id", "version", "s_lon", "s_lat"],
+                      "left_semi").count() == 0
