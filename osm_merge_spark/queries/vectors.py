@@ -638,3 +638,134 @@ def _sql_ann_filtered_topk() -> str:
 
 
 QUERIES["ann_filtered_topk"] = (q_ann_filtered_topk, _sql_ann_filtered_topk())
+
+
+# -- IVF pruned-probe recall audit --------------------------------------------
+# ivf_search is oracle-checked at full probe (= exact); the APPROXIMATION is
+# the pruned probe (nprobe < k), previously pytest-only. This query ships the
+# approximation with its own audit (the dedup_recall pattern): pruned-probe
+# top-k vs exact brute-force top-k, per-query hit count + e6 recall. The
+# oracle replays the ENTIRE probe in SQL — possible because centroids are the
+# IVF_K lowest-vec_id embeddings (the semdedup deterministic-seeding trick:
+# no Lloyd iterations, so no float-summation order to reproduce) and every
+# cosine on both sides is the same sequential fold, so cluster assignment,
+# probe selection, and both rank orders are bit-identical across engines.
+# 100 TB shape: assignment is a pure projection against k×dim literals (the
+# corpus never shuffles for its cluster id); candidates come from an equi-
+# join on cluster id — the probe scans |corpus|·nprobe/k rows, not |corpus|.
+IVF_NPROBE = 2
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cents = sorted(
+        emb.orderBy("vec_id").limit(IVF_K_CLUSTERS).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    carrs = [
+        F.array(*[F.lit(float(v)) for v in c["embedding"]]) for c in cents
+    ]
+    cids = [int(c["vec_id"]) for c in cents]
+
+    def coss_for(vec):
+        return F.array(*[similarity.cosine(vec, a) for a in carrs])
+
+    coss = coss_for(F.col("embedding"))
+    pos = F.array_position(coss, F.array_max(coss))  # first max = lowest cid
+    assigned = emb.select(
+        "vec_id", "embedding",
+        F.element_at(
+            F.array(*[F.lit(c) for c in cids]), pos.cast("int")
+        ).alias("cluster"),
+    )
+    queries = emb.filter(F.col("vec_id") % IVF_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # probe: the NPROBE nearest centroids by (cos DESC, cid ASC) — an
+    # 8-element struct array sorted per query, no shuffle
+    qcoss = coss_for(F.col("qvec"))
+    entries = F.array(*[
+        F.struct(
+            (-F.element_at(qcoss, i + 1)).alias("nc"),
+            F.lit(cids[i]).alias("cid"),
+        )
+        for i in range(IVF_K_CLUSTERS)
+    ])
+    probed = queries.withColumn(
+        "cluster",
+        F.explode(F.transform(
+            F.slice(F.array_sort(entries), 1, IVF_NPROBE), lambda s: s["cid"]
+        )),
+    )
+    cand = probed.join(assigned, "cluster").filter(
+        F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid", F.col("vec_id").alias("nid"),
+        # negated: top_k_agg keeps the k SMALLEST (nc, nid) — the sign-bit
+        # flip is bit-exact, so (cos DESC, nid ASC) order is preserved
+        (-similarity.cosine(F.col("qvec"), F.col("embedding"))).alias("nc"),
+    )
+    from ..operators import knn
+
+    approx = knn.top_k_agg(cand, "qid", "nc", "nid", IVF_TOPK)
+    exact_pairs = queries.join(
+        emb.select(F.col("vec_id").alias("nid"),
+                   F.col("embedding").alias("nvec")),
+        F.col("qid") != F.col("nid"),
+    ).select(
+        "qid", "nid",
+        (-similarity.cosine(F.col("qvec"), F.col("nvec"))).alias("nc"),
+    )
+    exact = knn.top_k_agg(exact_pairs, "qid", "nc", "nid", IVF_TOPK)
+    hits = approx.join(
+        exact.select("qid", "nid").withColumn("hit", F.lit(1)),
+        ["qid", "nid"], "left",
+    ).groupBy("qid").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit")
+    )
+    return hits.select(
+        "qid", "n_hit",
+        F.expr(f"n_hit * 1000000 div {IVF_TOPK}").alias("recall_e6"),
+    )
+
+
+def _sql_ivf_recall() -> str:
+    cos_c = similarity.cosine_sql("e.embedding", "c.cemb", DIM)
+    cos_qc = similarity.cosine_sql("q.qemb", "c.cemb", DIM)
+    cos_qn = similarity.cosine_sql("q.qemb", "n.embedding", DIM)
+    return (
+        "WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings"
+        f" ORDER BY vec_id LIMIT {IVF_K_CLUSTERS}), "
+        "asg AS (SELECT vec_id, embedding, cid AS cluster FROM"
+        f" (SELECT e.vec_id, e.embedding, c.cid, {cos_c} AS cos,"
+        "  row_number() OVER (PARTITION BY e.vec_id"
+        "  ORDER BY cos DESC, c.cid ASC) AS rn"
+        "  FROM embeddings e CROSS JOIN c) t WHERE rn = 1), "
+        "qs AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings"
+        f" WHERE vec_id % {IVF_QUERY_MOD} = 0), "
+        "probe AS (SELECT qid, cid AS cluster FROM"
+        f" (SELECT q.qid, c.cid, {cos_qc} AS cos,"
+        "  row_number() OVER (PARTITION BY q.qid"
+        "  ORDER BY cos DESC, c.cid ASC) AS rn"
+        f"  FROM qs q CROSS JOIN c) t WHERE rn <= {IVF_NPROBE}), "
+        "approx AS (SELECT qid, nid FROM"
+        f" (SELECT q.qid, n.vec_id AS nid, {cos_qn} AS cos,"
+        "  row_number() OVER (PARTITION BY q.qid"
+        "  ORDER BY cos DESC, n.vec_id ASC) AS rn"
+        "  FROM qs q JOIN probe p ON p.qid = q.qid"
+        "  JOIN asg n ON n.cluster = p.cluster AND n.vec_id != q.qid)"
+        f" t WHERE rn <= {IVF_TOPK}), "
+        "exact AS (SELECT qid, nid FROM"
+        f" (SELECT q.qid, n.vec_id AS nid, {cos_qn.replace('n.embedding', 'n.embedding')} AS cos,"
+        "  row_number() OVER (PARTITION BY q.qid"
+        "  ORDER BY cos DESC, n.vec_id ASC) AS rn"
+        "  FROM qs q JOIN embeddings n ON n.vec_id != q.qid)"
+        f" t WHERE rn <= {IVF_TOPK}) "
+        "SELECT a.qid, CAST(count(e.nid) AS BIGINT) AS n_hit,"
+        f" CAST(count(e.nid) * 1000000 // {IVF_TOPK} AS BIGINT) AS recall_e6"
+        " FROM approx a LEFT JOIN exact e ON a.qid = e.qid AND a.nid = e.nid"
+        " GROUP BY a.qid"
+    )
+
+
+QUERIES["ivf_recall"] = (q_ivf_recall, _sql_ivf_recall())
