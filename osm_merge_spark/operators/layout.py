@@ -124,7 +124,13 @@ def write_zordered(df: DataFrame, out_dir: str,
         )
     )
     (
-        keyed.repartition("zb")
+        # repartitionByRange, not repartition("zb"): a hash partition per
+        # bucket puts a HOT bucket (urban core, the synth hot cell) in one
+        # straggler task; the range partitioner on (zb, key) splits a hot
+        # bucket across tasks at key boundaries — each writes its own
+        # internally-sorted file into the same zb= directory, so pruning
+        # and row-group stats are unchanged while the write balances
+        keyed.repartitionByRange("zb", "__zkey")
         .sortWithinPartitions("zb", "__zkey")
         .drop("__zkey")
         .write.mode("overwrite").partitionBy("zb").parquet(out_dir)
