@@ -697,7 +697,10 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.array_sort(entries), 1, IVF_NPROBE), lambda s: s["cid"]
         )),
     )
-    cand = probed.join(assigned, "cluster").filter(
+    # probed is |queries|·nprobe rows — broadcast it so the corpus-scale
+    # assigned side streams through one BroadcastHashJoin (no sort, no
+    # corpus shuffle; the auditor flagged the default SMJ here)
+    cand = F.broadcast(probed).join(assigned, "cluster").filter(
         F.col("vec_id") != F.col("qid")
     ).select(
         "qid", F.col("vec_id").alias("nid"),
@@ -718,7 +721,7 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = knn.top_k_agg(exact_pairs, "qid", "nc", "nid", IVF_TOPK)
     hits = approx.join(
-        exact.select("qid", "nid").withColumn("hit", F.lit(1)),
+        F.broadcast(exact.select("qid", "nid").withColumn("hit", F.lit(1))),
         ["qid", "nid"], "left",
     ).groupBy("qid").agg(
         F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit")
