@@ -100,3 +100,52 @@ def test_files_internally_sorted_by_zkey(spark, sf_dir, tmp_path):
         assert ks == sorted(ks)
         checked += len(ks)
     assert checked > 1
+
+
+def test_bucket_footprint_complete_hypothesis():
+    """Property: for ANY bbox and ANY point inside it, the point's bucket is
+    in buckets_for_bbox — pure driver-side math, no Spark. A miss here is a
+    silently-dropped row at read time, the worst failure a layout can have."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osm_merge_spark.functions import zorder
+    from osm_merge_spark.operators.layout import (
+        BUCKET_BITS, _bucket_cell, buckets_for_bbox,
+    )
+
+    def py_bucket(lon, lat, lon_r, lat_r):
+        # mirror of layout.zbucket's quant + interleave + top-bits shift
+        def quant(v, lo, hi):
+            s = int((v - lo) / (hi - lo) * (1 << zorder.BITS))
+            return min(max(s, 0), (1 << zorder.BITS) - 1)
+
+        x, y = quant(lon, *lon_r), quant(lat, *lat_r)
+        key = 0
+        for i in range(zorder.BITS):
+            key |= ((x >> i) & 1) << (2 * i)
+            key |= ((y >> i) & 1) << (2 * i + 1)
+        return key >> (2 * zorder.BITS - BUCKET_BITS)
+
+    rng = st.floats(-109.2, -108.2, allow_nan=False)
+    rat = st.floats(0.0, 1.0, allow_nan=False)
+
+    @settings(max_examples=200, deadline=None)
+    @given(a=rng, b=rng, la=st.floats(43.4, 44.0), lb=st.floats(43.4, 44.0),
+           fx=rat, fy=rat)
+    def run(a, b, la, lb, fx, fy):
+        lon0, lon1 = min(a, b), max(a, b)
+        lat0, lat1 = min(la, lb), max(la, lb)
+        lon_r, lat_r = (-109.2, -108.2 + 1e-6), (43.4, 44.0 + 1e-6)
+        # a point inside the bbox (interpolated)
+        plon = lon0 + fx * (lon1 - lon0)
+        plat = lat0 + fy * (lat1 - lat0)
+        bks = set(buckets_for_bbox(lon0, lat0, lon1, lat1,
+                                   lon_range=lon_r, lat_range=lat_r))
+        assert py_bucket(plon, plat, lon_r, lat_r) in bks
+        # sanity on the de-interleave helper
+        for bk in list(bks)[:4]:
+            cx, cy = _bucket_cell(bk)
+            assert 0 <= cx < 16 and 0 <= cy < 16
+
+    run()
