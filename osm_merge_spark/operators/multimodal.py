@@ -210,3 +210,50 @@ def tile_image_stats(images_with_bytes: DataFrame, grid=None) -> DataFrame:
             F.round(F.avg("mean_b"), 4).alias("avg_b"),
         )
     )
+
+
+def audio_features(audio: DataFrame, window: int = 1024) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads — the third
+    modality of the image/audio/video triplet.
+
+    fmt='pcm16' (raw 16-bit little-endian mono) decodes FOR REAL — raw PCM
+    needs no codec library, just a dtype view — and reduces to
+    integer-exact features executor-side: sample count, per-file energy
+    (Σ s² as int64 — no float accumulation), peak |amplitude|, count of
+    clipped samples, and the number of full analysis windows. Compressed
+    formats (mp3/flac/ogg) follow the engine's honest env-limit policy:
+    schema-complete plumbing, decode raises NotImplementedError.
+
+    100 TB shape: bytes → 5 longs inside one mapInPandas projection;
+    payloads never shuffle, features join by id downstream like
+    decode_stats' image moments."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"audio_id": [], "n_samples": [], "energy": [],
+                   "peak": [], "n_clipped": [], "n_windows": []}
+            for aid, buf, fmt in zip(pdf["audio_id"], pdf["bytes"],
+                                     pdf["fmt"]):
+                if fmt != "pcm16":
+                    raise NotImplementedError(
+                        f"audio codec {fmt!r} requires an external library "
+                        "not present in this environment; pcm16 is the "
+                        "real decode path"
+                    )
+                s = np.frombuffer(bytes(buf), dtype="<i2").astype(np.int64)
+                out["audio_id"].append(aid)
+                out["n_samples"].append(int(s.size))
+                out["energy"].append(int((s * s).sum()))
+                out["peak"].append(int(np.abs(s).max()) if s.size else 0)
+                out["n_clipped"].append(int((np.abs(s) >= 32767).sum()))
+                out["n_windows"].append(int(s.size // window))
+            yield pd.DataFrame(out)
+
+    return audio.select("audio_id", "bytes", "fmt").mapInPandas(
+        run,
+        schema="audio_id string, n_samples long, energy long, peak long,"
+               " n_clipped long, n_windows long",
+    )

@@ -57,3 +57,42 @@ def test_frame_sample_stub_raises(spark):
     df = synth_images(spark, 4, with_bytes=True)
     with pytest.raises(Exception, match="NotImplementedError|video decode"):
         multimodal.frame_sample(df).collect()
+
+
+def test_audio_features_pcm16_exact(spark):
+    """pcm16 is a REAL decode (dtype view, no codec lib): features must
+    equal an independent numpy pass, including clip counting at ±32767 and
+    the int64-exact energy."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from osm_merge_spark.operators.multimodal import audio_features
+
+    rows = []
+    want = {}
+    for i in range(7):
+        n = 1000 + 137 * i
+        rng = (np.arange(n, dtype=np.int64) * (2654435761 + i) % 65536) - 32768
+        s = rng.astype("<i2")
+        rows.append((f"aud-{i}", s.tobytes(), "pcm16"))
+        s64 = s.astype(np.int64)
+        want[f"aud-{i}"] = (
+            n, int((s64 * s64).sum()), int(np.abs(s64).max()),
+            int((np.abs(s64) >= 32767).sum()), n // 1024,
+        )
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary, fmt string")
+    got = {
+        r["audio_id"]: (r["n_samples"], r["energy"], r["peak"],
+                        r["n_clipped"], r["n_windows"])
+        for r in audio_features(df).collect()
+    }
+    assert got == want
+
+    # honest env-limit policy: compressed formats raise, not silently skip
+    bad = spark.createDataFrame(
+        [("x", b"\x00\x01", "mp3")], "audio_id string, bytes binary, fmt string"
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|external library"):
+        audio_features(bad).collect()
