@@ -106,6 +106,14 @@ def write_zordered(df: DataFrame, out_dir: str,
         ext = df.agg(
             F.min(lon_col), F.max(lon_col), F.min(lat_col), F.max(lat_col)
         ).first()
+        if ext[0] is None:
+            # Empty input: the extent agg returns NULLs and the resulting
+            # layout would hold only _zmeta.json (unreadable by read_bbox).
+            raise ValueError(
+                f"write_zordered: input has no rows, cannot derive a "
+                f"quantization extent for {out_dir!r}; pass explicit "
+                f"lon_range/lat_range if an empty layout is intended"
+            )
 
         # epsilon pad so the max row quantizes inside the top cell instead
         # of clamping onto the boundary

@@ -759,7 +759,7 @@ def _sql_ivf_recall() -> str:
         "  JOIN asg n ON n.cluster = p.cluster AND n.vec_id != q.qid)"
         f" t WHERE rn <= {IVF_TOPK}), "
         "exact AS (SELECT qid, nid FROM"
-        f" (SELECT q.qid, n.vec_id AS nid, {cos_qn.replace('n.embedding', 'n.embedding')} AS cos,"
+        f" (SELECT q.qid, n.vec_id AS nid, {cos_qn} AS cos,"
         "  row_number() OVER (PARTITION BY q.qid"
         "  ORDER BY cos DESC, n.vec_id ASC) AS rn"
         "  FROM qs q JOIN embeddings n ON n.vec_id != q.qid)"

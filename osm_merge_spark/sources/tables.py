@@ -217,8 +217,16 @@ def read_snapshot(spark: SparkSession, target: str,
     if not snaps:
         raise FileNotFoundError(f"no snapshots at {target}")
     if version is None and as_of is None:
-        with open(os.path.join(target, "_current")) as f:
-            version = int(f.read().strip())
+        cur = os.path.join(target, "_current")
+        if os.path.exists(cur):
+            with open(cur) as f:
+                version = int(f.read().strip())
+        else:
+            # A crash between the first _snaplog append and the pointer swap
+            # leaves a log with no _current; the latest logged snapshot is the
+            # only committed state, so resume from it rather than raising a
+            # raw FileNotFoundError.
+            version = snaps[-1]["v"]
     if version is None:
         eligible = [s for s in snaps if s["ts"] <= as_of]
         if not eligible:
@@ -242,7 +250,10 @@ def expire_snapshots(target: str, keep_last: int = 1) -> list[int]:
     snaps = snapshots(target)
     with open(os.path.join(target, "_current")) as f:
         cur = int(f.read().strip())
-    keep = {s["v"] for s in snaps[-keep_last:]} | {cur}
+    # keep_last=0 must keep ONLY the current snapshot; a bare snaps[-0:]
+    # would slice the whole list and turn the expiry into a no-op.
+    tail = snaps[-keep_last:] if keep_last > 0 else []
+    keep = {s["v"] for s in tail} | {cur}
     expired = [s for s in snaps if s["v"] not in keep]
     for s in expired:
         shutil.rmtree(s["path"], ignore_errors=True)

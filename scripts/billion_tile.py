@@ -63,7 +63,9 @@ def main() -> int:
     grid = TileGrid(tile_m=args.tile_m)
 
     if args.table:
-        src = f"{args.table}/positions"
+        # row count baked into the path: a rerun with a different --n must
+        # never silently time stale data while reporting the new n_rows
+        src = f"{args.table}/positions_{args.n}"
         if not os.path.exists(src):
             df = spark.range(args.n).withColumnRenamed("id", "i")
             lon, lat = _position(F.col("i"), _hot_spread(args.n))
@@ -73,7 +75,7 @@ def main() -> int:
 
     def plan():
         if args.table:
-            pos = spark.read.parquet(f"{args.table}/positions")
+            pos = spark.read.parquet(src)
             lon, lat = F.col("lon"), F.col("lat")
         else:
             pos = spark.range(args.n).withColumnRenamed("id", "i")

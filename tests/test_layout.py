@@ -149,3 +149,18 @@ def test_bucket_footprint_complete_hypothesis():
             assert 0 <= cx < 16 and 0 <= cy < 16
 
     run()
+
+
+def test_write_zordered_empty_input_raises_clearly(spark, tmp_path):
+    """Empty input has no extent to quantize — must fail with a clear
+    ValueError, not a TypeError from pad(None, None) or an unreadable
+    layout holding only _zmeta.json."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    empty = spark.range(1).select(
+        F.col("id").cast("double").alias("lon"),
+        F.col("id").cast("double").alias("lat"),
+    ).filter(F.lit(False))
+    with pytest.raises(ValueError, match="no rows"):
+        layout.write_zordered(empty, str(tmp_path / "z_empty"))

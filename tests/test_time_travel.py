@@ -95,3 +95,27 @@ def test_snapshot_diff_feeds_incremental_conflation(spark, sf_dir, tmp_path):
     # and the delta contains no unchanged row
     assert delta.join(old, ["feature_id", "version", "s_lon", "s_lat"],
                       "left_semi").count() == 0
+
+
+def test_expire_keep_last_zero_keeps_only_current(spark, tmp_path):
+    """keep_last=0 means "only the current pointer survives" — a bare
+    snaps[-0:] slice would keep everything and make expiry a no-op."""
+    tgt = str(tmp_path / "tbl")
+    for n in (2, 4, 6):
+        tables.commit_snapshot(_df(spark, n), tgt)
+    expired = tables.expire_snapshots(tgt, keep_last=0)
+    assert expired == [1, 2]
+    assert [s["v"] for s in tables.snapshots(tgt)] == [3]
+    assert tables.read_snapshot(spark, tgt).count() == 6
+
+
+def test_missing_current_falls_back_to_latest_logged(spark, tmp_path):
+    """Crash window on the FIRST commit: log appended, pointer swap never
+    ran. The latest logged snapshot is the only committed state — a
+    default read resumes from it instead of raising FileNotFoundError."""
+    import os
+
+    tgt = str(tmp_path / "tbl")
+    tables.commit_snapshot(_df(spark, 5), tgt)
+    os.remove(os.path.join(tgt, "_current"))
+    assert tables.read_snapshot(spark, tgt).count() == 5
