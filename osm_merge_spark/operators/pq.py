@@ -231,7 +231,6 @@ def pq_adc_topk(emb: DataFrame, queries: DataFrame,
     join — the full vectors never leave their scan. use_udf selects the
     vectorized Arrow encoder (default, the scale path) vs the pure
     Catalyst expression; both produce identical codes."""
-    from pyspark.sql import Window
     from ..functions.barrier import eval_once
 
     enc = (pq_encode_udf(cb)(F.col(vec_col)) if use_udf
@@ -256,12 +255,22 @@ def pq_adc_topk(emb: DataFrame, queries: DataFrame,
         )
         adc = term if adc is None else adc + term
     scored = pairs.withColumn("adc", adc)
-    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "nid", F.col("rank").cast("int").alias("rank"),
-                F.round("adc", 6).alias("adc"))
+    # hash-agg top-k (no WindowExec/SortExec): (adc ASC, nid ASC) is the
+    # natural ascending struct order, so array_sort + slice selects the
+    # same rows the row_number window would — shuffle carries 16-byte
+    # (adc, nid) structs only
+    agg = (
+        scored.select(
+            "qid", F.struct(F.col("adc"), F.col("nid")).alias("c")
+        )
+        .groupBy("qid")
+        .agg(F.slice(F.array_sort(F.collect_list("c")), 1, k).alias("top"))
+    )
+    return agg.select("qid", F.posexplode("top").alias("pos", "t")).select(
+        "qid",
+        F.col("t.nid").alias("nid"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.round(F.col("t.adc"), 6).alias("adc"),
     )
 
 

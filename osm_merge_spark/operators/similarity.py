@@ -276,13 +276,10 @@ def ivf_search(assigned: DataFrame, centroids, queries: DataFrame,
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"), "cluster"
     ).join(F.broadcast(probes), "cluster").filter(F.col("qid") != F.col("nid"))
     scored = cand.withColumn("cos", cosine(F.col("qvec"), F.col("nvec")))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("qid", "nid", F.col("rank").cast("int").alias("rank"),
-                F.round("cos", 6).alias("cos"))
-    )
+    # same hash-agg top-k as cosine_topk's default: no WindowExec/SortExec
+    # in the post-probe selection, the shuffle carries (negcos, nid)
+    # structs only (r4 verdict item #2: share the agg path)
+    return _topk_by_cos(scored, k, "agg")
 
 
 def lsh_bits(vec: Column, planes: list[list[float]]) -> Column:

@@ -417,8 +417,6 @@ def _sql_poi_dup() -> str:
 # (nearest line feature) when no node matches.
 # ---------------------------------------------------------------------------
 def _nearest(img: DataFrame, feats: DataFrame, kind: str) -> DataFrame:
-    from pyspark.sql import Window
-
     pairs = cell_join.candidate_pairs(
         img, feats, GRID100, p_key="image_id", s_key="feature_id",
         secondary_points=True,
@@ -426,14 +424,19 @@ def _nearest(img: DataFrame, feats: DataFrame, kind: str) -> DataFrame:
         "dist",
         geo.haversine_m(F.col("lon"), F.col("lat"), F.col("s_lon"), F.col("s_lat")),
     ).filter(F.col("dist") <= F.lit(KNN_RADIUS_M))
-    w = Window.partitionBy("image_id").orderBy(F.asc("dist"), F.asc("feature_id"))
+    # argmin via array_sort(collect_list(struct))[1]: ObjectHashAggregate,
+    # zero sorts — min(struct) would fall back to SortAggregate (struct
+    # agg buffers aren't hash-mutable) and re-sort the candidate stream in
+    # every task. Struct field order IS the (dist ASC, feature_id ASC)
+    # tie-break the row_number form used.
     return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        pairs.select("image_id", F.struct("dist", "feature_id").alias("c"))
+        .groupBy("image_id")
+        .agg(F.element_at(F.array_sort(F.collect_list("c")), 1).alias("b"))
         .select(
             "image_id", F.lit(kind).alias("kind"),
-            F.col("feature_id").alias(f"{kind}_id"),
-            F.round("dist", 3).alias(f"{kind}_dist"),
+            F.col("b.feature_id").alias(f"{kind}_id"),
+            F.round("b.dist", 3).alias(f"{kind}_dist"),
         )
     )
 
@@ -451,9 +454,10 @@ def q_knn_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1 = _nearest(img, nodes, "node")
     w1 = _nearest(img, ways, "way")
-    out = img.join(n1.drop("kind"), "image_id", "left").join(
-        w1.drop("kind"), "image_id", "left"
-    )
+    # shuffle_hash: both sides hash-partition on image_id — an SMJ would
+    # pay two full sorts of streams that are already pure hash-join shapes
+    out = img.join(n1.drop("kind").hint("shuffle_hash"), "image_id", "left") \
+        .join(w1.drop("kind").hint("shuffle_hash"), "image_id", "left")
     matched = out.filter(
         F.col("node_id").isNotNull() | F.col("way_id").isNotNull()
     )
