@@ -1096,14 +1096,12 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("cnt"))
     )
+    from ..functions.histogram import hist_cumsum
+
     hist = per_key.groupBy("cnt").agg(F.count("*").alias("keys"))
-    w = Window.orderBy("cnt").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.select(
-        "cnt", "keys",
-        F.sum("keys").over(w).alias("cum_keys"),
-    )
+    # counts-of-counts cumsum, block-partitioned (functions/histogram.py)
+    # — no single-partition WindowExec (r4 verdict nit #1)
+    cum = hist_cumsum(hist, "cnt", "keys", cum_col="cum_keys")
     tot = per_key.agg(
         F.count("*").alias("n_keys"),
         F.sum("cnt").alias("n_rows"),

@@ -44,11 +44,18 @@ def main() -> int:
             continue
         smj = "SortMergeJoin" in plan
         cart = "CartesianProduct" in plan
+        # a windowspecdefinition whose FIRST argument is already an
+        # ordering (ASC/DESC) has no partition columns — the
+        # single-partition WindowExec Spark itself warns about
+        nopart = bool(re.search(
+            r"windowspecdefinition\([^(),]*\s(?:ASC|DESC)\sNULLS", plan
+        ))
         n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
         n_sort = len(re.findall(r"\bSort \[", plan))
         n_bc = len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoop", plan))
-        flags = ("SMJ " if smj else "") + ("CARTESIAN" if cart else "")
-        if smj or cart:
+        flags = (("SMJ " if smj else "") + ("CARTESIAN " if cart else "")
+                 + ("NOPART-WINDOW" if nopart else ""))
+        if smj or cart or nopart:
             flagged += 1
         print(f"{name:24s} exchanges={n_ex} sorts={n_sort}"
               f" bcast={n_bc} {flags}")
