@@ -58,3 +58,49 @@ def test_no_unpartitioned_window_in_percentile_plans(spark, sf_dir):
         plan = q(spark, sf_dir)._jdf.queryExecution() \
             .executedPlan().toString()
         assert not pat.search(plan), q.__name__
+
+
+def _scan_partition_count(df):
+    """numPartitions metric of the executed FileSourceScan (directory
+    partitions selected post-pruning) — df must have been executed."""
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if "FileSourceScan" in node.getClass().getName():
+            return int(node.metrics().apply("numPartitions").value())
+    raise AssertionError("no file scan leaf found")
+
+
+def test_zlayout_aoi_clip_scans_fewer_buckets_than_layout_has(spark, sf_dir):
+    """r4 verdict item #1 'done' criterion: the end-to-end query's scan
+    selects strictly fewer directory partitions than the layout holds, and
+    its rows match the flat-scan twin exactly."""
+    from osm_merge_spark.queries import zlayout
+    from osm_merge_spark.queries.geo import q_aoi_clip
+
+    df = zlayout.q_zlayout_aoi_clip(spark, sf_dir)
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, q_aoi_clip(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+    out = zlayout._image_layout(spark, sf_dir)
+    n_dirs = len({f.split("/zb=")[1].split("/")[0]
+                  for f in spark.read.parquet(out).inputFiles()})
+    n_selected = _scan_partition_count(df)
+    assert 0 < n_selected < n_dirs
+
+
+def test_zlayout_delta_is_the_snapshot_diff(spark, sf_dir):
+    """The conflated feature set must be exactly the snapshot diff — every
+    output feature is odd (new in v2) or %10==0 (version-bumped), with
+    v2's version value — and no unchanged feature leaks through."""
+    from osm_merge_spark.queries import zlayout
+
+    rows = zlayout.q_zlayout_delta_conflate(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        fid = r["feature_id"]
+        assert fid % 2 == 1 or fid % 10 == 0
+        base_version = (fid % 3) + 1
+        expect = base_version + 1 if fid % 10 == 0 else base_version
+        assert r["version"] == expect
