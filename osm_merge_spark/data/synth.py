@@ -187,3 +187,50 @@ def expected_match_class(i: int) -> str:
     if c == 5:
         return "match_dist_only"
     return "new"
+
+
+# -- audio (pcm16, third modality) --------------------------------------------
+AUDIO_SEED_SALT = 7       # distinct splitmix stream from the pixel salt (+1)
+AUDIO_BASE_SAMPLES = 1024
+AUDIO_STEP_SAMPLES = 256  # n_samples = base + (i % 5) * step — varies the
+#                           window count so n_windows isn't a constant
+
+
+def audio_pcm16_for_seed(i: int, n_samples: int) -> bytes:
+    """Deterministic 16-bit LE mono PCM payload for audio row i — the same
+    splitmix64 stream data/images.pixels_for_seed draws from, at a
+    different salt. n_samples must be a multiple of 4 (whole words)."""
+    import numpy as np
+
+    from .images import _splitmix
+
+    assert n_samples % 4 == 0
+    nw = (2 * n_samples) // 8
+    words = _splitmix(
+        np.arange(nw, dtype=np.uint64)
+        + np.uint64(i * 2654435761 + AUDIO_SEED_SALT)
+    )
+    return words.view(np.uint8)[: 2 * n_samples].tobytes()
+
+
+def synth_audio(spark: SparkSession, n: int) -> DataFrame:
+    """(audio_id, fmt='pcm16', bytes, i) — payloads generated executor-side
+    (Arrow-batched), never on the driver."""
+    df = spark.range(n).withColumnRenamed("id", "i")
+
+    @pandas_udf(BinaryType())
+    def _pcm(iv: pd.Series) -> pd.Series:
+        return pd.Series([
+            audio_pcm16_for_seed(
+                int(k),
+                AUDIO_BASE_SAMPLES + (int(k) % 5) * AUDIO_STEP_SAMPLES,
+            )
+            for k in iv
+        ])
+
+    return df.select(
+        F.concat(F.lit("aud-"), F.col("i")).alias("audio_id"),
+        F.lit("pcm16").alias("fmt"),
+        _pcm(F.col("i")).alias("bytes"),
+        F.col("i"),
+    )

@@ -448,3 +448,56 @@ def _sql_dp_simplify() -> str:
 
 
 QUERIES["dp_simplify"] = (q_dp_simplify, _sql_dp_simplify())
+
+
+# ---------------------------------------------------------------------------
+# audio_features — the third modality, oracle-checked (r4 verdict item #4):
+# pcm16 decode is a dtype view (operators/multimodal.py:215) and the synth
+# payload is the same splitmix64 stream the pixel oracle already replays in
+# 32-bit-half SQL — so every feature (sample count, integer energy, peak,
+# clip count, window count) is recomputable by DuckDB from the row id alone.
+# The Spark side must recover them THROUGH the real byte path (generate →
+# binary column → np.frombuffer('<i2') decode); one wrong byte anywhere
+# breaks the integer-exact match.
+# ---------------------------------------------------------------------------
+AF_N = 96  # keeps i * 2654435761 + salt < 2^40 (the SQL splitmix domain)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..data import synth
+    from ..operators.multimodal import audio_features
+
+    return audio_features(synth.synth_audio(spark, AF_N))
+
+
+def _sql_audio_features() -> str:
+    from ..data import synth
+
+    base_s = synth.AUDIO_BASE_SAMPLES
+    step_s = synth.AUDIO_STEP_SAMPLES
+    salt = synth.AUDIO_SEED_SALT
+    max_words = (2 * (base_s + 4 * step_s)) // 8
+    wh, wl = _splitmix_word_sql("x")
+    # word j of audio i → 4 little-endian int16 samples: chunk 0 = low 16
+    # bits of the low half, ..., chunk 3 = high 16 bits of the high half
+    return (
+        f"WITH auds AS (SELECT CAST(i AS BIGINT) AS i,"
+        f" CAST({base_s} + (i % 5) * {step_s} AS BIGINT) AS ns"
+        f" FROM range({AF_N}) t(i)), "
+        f"xs AS (SELECT i, ns, i * 2654435761 + {salt} + j AS x"
+        f" FROM auds, range({max_words}) w(j) WHERE j < ns // 4), "
+        f"wd AS (SELECT i, ns, {wh} AS wh, {wl} AS wl FROM xs), "
+        "smp AS (SELECT i, ns, u - (CASE WHEN u >= 32768 THEN 65536 ELSE 0"
+        " END) AS s FROM (SELECT i, ns, unnest([wl % 65536, wl // 65536,"
+        " wh % 65536, wh // 65536]) AS u FROM wd) t) "
+        "SELECT 'aud-' || CAST(i AS VARCHAR) AS audio_id,"
+        " ns AS n_samples,"
+        " CAST(sum(s * s) AS BIGINT) AS energy,"
+        " CAST(max(abs(s)) AS BIGINT) AS peak,"
+        " CAST(count(*) FILTER (abs(s) >= 32767) AS BIGINT) AS n_clipped,"
+        " ns // 1024 AS n_windows"
+        " FROM smp GROUP BY i, ns"
+    )
+
+
+QUERIES["audio_features"] = (q_audio_features, _sql_audio_features())
