@@ -1,0 +1,195 @@
+"""Compose the two scale mechanisms the verdict asked to see together:
+the snap_points map-matching ladder's FIRST round (its scan-heavy step —
+every later round runs over a shrinking remainder) against a segment table
+stored (a) as flat parquet (full scan) and (b) through write_zordered with
+the probe window read via read_bbox (directory-pruned).
+
+The probe set is AOI-window-confined — the realistic map-matching shape: a
+day's GPS traces cover a city, the road-segment table covers the planet.
+Round 1's candidate generation only ever touches segments within the cell
+ring of some probe, so the layout read pads the probe bbox by the ring
+reach (2·cell_res) plus the max segment length and provably loses no
+candidate (asserted: both paths must produce the identical accepted-snap
+count AND pair-checksum). The FLAT baseline gets the same padded-bbox
+filter in its plan (no strawman): the delta measured is purely "scan all
+rows, filter" vs "list only the pruned bucket directories".
+
+--radius is the bench round's snap radius (default 50 m — the GPS-accuracy
+shape). The registry ladder opens at 1 km, but its cell size must scale
+inversely with segment density to keep per-probe candidate counts O(1);
+the synth field at n≥10^8 is ~100× denser than planet road networks, so
+the bench shrinks the radius rather than let the candidate join (identical
+in both paths) drown the scan delta it exists to measure.
+
+Usage: python scripts/snap_layout_bench.py [--n 200000000] [--m 50000]
+Prints one JSON line for BASELINE.md §6 (bucket-prune ratio + walls).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# probe window: a city-sized slice of the synth AOI (~1.3% of its area)
+PROBE_BBOX = (-108.78, 43.62, -108.70, 43.67)
+SEG_LEN_DEG = 0.002  # max segment reach from its stored anchor (~160 m)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200_000_000,
+                    help="segment-table rows (the 'planet' side)")
+    ap.add_argument("--m", type=int, default=50_000,
+                    help="probe points inside PROBE_BBOX")
+    ap.add_argument("--radius", type=float, default=50.0,
+                    help="bench round snap radius in meters")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--dir", default="/dev/shm/snap_layout_bench")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.data.synth import _h, _hot_spread, _position
+    from osm_merge_spark.operators import layout
+    from osm_merge_spark.queries.geo4 import (
+        SNAP_ACCEPT_FACTOR,
+        SNAP_LAT0_COS,
+        _M_PER_DEG,
+        _snap_refine_best,
+    )
+    from osm_merge_spark.functions.cells import CellGrid
+    from osm_merge_spark.operators import cell_join
+    from osm_merge_spark.session import get_spark
+
+    spark = get_spark(
+        "snap-layout-bench", master=f"local[{args.cpus}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(args.cpus * 4),
+            "spark.driver.memory": f"{max(8, args.cpus)}g",
+            "spark.local.dir": "/dev/shm/spark-graft-shuffle",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    flat_dir = os.path.join(args.dir, "flat")
+    z_dir = os.path.join(args.dir, "zorder")
+
+    # planet-side segments: anchor from the standard skewed position field,
+    # second endpoint a deterministic hash offset ≤ SEG_LEN_DEG per axis
+    src = spark.range(args.n).withColumnRenamed("id", "i")
+    lon, lat = _position(F.col("i"), _hot_spread(args.n))
+    ddx = ((_h(F.col("i"), "sdx") % F.lit(1000)).cast("double")
+           / F.lit(1000.0) - F.lit(0.5)) * F.lit(2 * SEG_LEN_DEG)
+    ddy = ((_h(F.col("i"), "sdy") % F.lit(1000)).cast("double")
+           / F.lit(1000.0) - F.lit(0.5)) * F.lit(2 * SEG_LEN_DEG)
+    segs = src.select(
+        F.col("i").alias("way_id"),
+        lon.alias("lon"), lat.alias("lat"),
+        (lon + ddx).alias("bx"), (lat + ddy).alias("by"),
+    )
+    segs.write.mode("overwrite").parquet(flat_dir)
+    flat = spark.read.parquet(flat_dir)
+    layout.write_zordered(flat, z_dir)
+
+    # probe side: m points uniform inside the window, built once (identical
+    # DataFrame feeds both paths — only the SEGMENT read differs)
+    p = spark.range(args.m).withColumnRenamed("id", "i")
+    u1 = (_h(F.col("i"), "plon") % F.lit(1_000_000)).cast("double") / F.lit(1e6)
+    u2 = (_h(F.col("i"), "plat") % F.lit(1_000_000)).cast("double") / F.lit(1e6)
+    probes = p.select(
+        F.concat(F.lit("img-"), F.col("i")).alias("image_id"),
+        (F.lit(PROBE_BBOX[0]) + u1 * F.lit(PROBE_BBOX[2] - PROBE_BBOX[0])
+         ).alias("lon"),
+        (F.lit(PROBE_BBOX[1]) + u2 * F.lit(PROBE_BBOX[3] - PROBE_BBOX[1])
+         ).alias("lat"),
+    ).persist()
+    probes.count()
+
+    grid = CellGrid.for_radius(args.radius, max_abs_lat=60.0)
+    accept_m = (SNAP_ACCEPT_FACTOR * grid.res_deg * SNAP_LAT0_COS
+                * _M_PER_DEG)
+    # ring reach: probe cell ±1 of a segment's covering cell (covering
+    # samples are ON the segment) → anchor within 2·res + seg reach; 3·res
+    # for margin — over-reading never changes the result, under-reading
+    # would, and the checksum assert below would catch it
+    pad = 3.0 * grid.res_deg + SEG_LEN_DEG
+    read_bbox = (PROBE_BBOX[0] - pad, PROBE_BBOX[1] - pad,
+                 PROBE_BBOX[2] + pad, PROBE_BBOX[3] + pad)
+
+    def seg_geoms(df):
+        return df.select(
+            F.struct("way_id", F.lit(1).alias("k")).alias("sid"),
+            F.array("lon", "bx").alias("sxs"),
+            F.array("lat", "by").alias("sys"),
+        )
+
+    def round1(seg_df):
+        cand = cell_join.candidate_pairs_fused(
+            probes, seg_geoms(seg_df), grid,
+            p_lon="lon", p_lat="lat", s_key="sid", s_xs="sxs", s_ys="sys",
+        )
+        ok = _snap_refine_best(cand).filter(
+            F.sqrt(F.col("b.d2")) * F.lit(_M_PER_DEG) <= F.lit(accept_m)
+        )
+        return ok.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("image_id", F.col("b.way_id"))).alias("ck"),
+        ).collect()[0]
+
+    def flat_round():
+        # same padded-bbox predicate the layout read applies — the flat
+        # baseline filters AFTER a full scan (random row order: parquet
+        # min/max stats cannot prune), the layout skips directories
+        return round1(spark.read.parquet(flat_dir).filter(
+            (F.col("lon") >= read_bbox[0]) & (F.col("lon") <= read_bbox[2])
+            & (F.col("lat") >= read_bbox[1]) & (F.col("lat") <= read_bbox[3])
+        ))
+
+    def z_round():
+        return round1(layout.read_bbox(spark, z_dir, *read_bbox))
+
+    def best_of(mk):
+        first = mk()  # warmup
+        walls = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            row = mk()
+            walls.append(time.perf_counter() - t0)
+            assert (row["n"], row["ck"]) == (first["n"], first["ck"])
+        return min(walls), first
+
+    t_flat, r_flat = best_of(flat_round)
+    t_z, r_z = best_of(z_round)
+    assert (r_flat["n"], r_flat["ck"]) == (r_z["n"], r_z["ck"]), \
+        (r_flat, r_z)
+
+    meta = layout.layout_meta(z_dir)
+    n_buckets = len({f.split("/zb=")[1].split("/")[0]
+                     for f in spark.read.parquet(z_dir).inputFiles()})
+    n_probed = len(layout.buckets_for_bbox(
+        *read_bbox, lon_range=tuple(meta["lon_range"]),
+        lat_range=tuple(meta["lat_range"]),
+    ))
+    print(json.dumps({
+        "metric": "snap_points round 1: flat segment scan vs Z-layout read",
+        "n_segments": args.n, "n_probes": args.m,
+        "snapped_round1": r_flat["n"],
+        "flat_wall_sec": round(t_flat, 3), "zorder_wall_sec": round(t_z, 3),
+        "speedup": round(t_flat / t_z, 2),
+        "layout_buckets": n_buckets, "buckets_probed": n_probed,
+        "prune_ratio": round(n_buckets / max(n_probed, 1), 1),
+    }))
+    shutil.rmtree(args.dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
