@@ -52,7 +52,11 @@ def main() -> int:
                     help="bench round snap radius in meters")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--max-reps", type=int, default=6,
+                    help="cap for the convergence-based interleaved reps")
     ap.add_argument("--dir", default="/dev/shm/snap_layout_bench")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the synthesized tables for re-runs")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -95,9 +99,10 @@ def main() -> int:
         lon.alias("lon"), lat.alias("lat"),
         (lon + ddx).alias("bx"), (lat + ddy).alias("by"),
     )
-    segs.write.mode("overwrite").parquet(flat_dir)
-    flat = spark.read.parquet(flat_dir)
-    layout.write_zordered(flat, z_dir)
+    if not (args.keep and os.path.exists(os.path.join(z_dir, "_zmeta.json"))):
+        segs.write.mode("overwrite").parquet(flat_dir)
+        flat = spark.read.parquet(flat_dir)
+        layout.write_zordered(flat, z_dir)
 
     # probe side: m points uniform inside the window, built once (identical
     # DataFrame feeds both paths — only the SEGMENT read differs)
@@ -156,18 +161,74 @@ def main() -> int:
     def z_round():
         return round1(layout.read_bbox(spark, z_dir, *read_bbox))
 
-    def best_of(mk):
-        first = mk()  # warmup
-        walls = []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            row = mk()
-            walls.append(time.perf_counter() - t0)
-            assert (row["n"], row["ck"]) == (first["n"], first["ck"])
-        return min(walls), first
+    def gc_nudge():
+        # fresh-plan protocol: abandoned reps' shuffle files persist on
+        # tmpfs until the driver GC lets the ContextCleaner collect them —
+        # at n=200M each round writes ~10 GB, so later reps compete with
+        # the data for physical RAM and degrade (observed: z walls
+        # 76.7 → 94.1 → 93.4 when z ran after six flat rounds)
+        spark.sparkContext._jvm.System.gc()
 
-    t_flat, r_flat = best_of(flat_round)
-    t_z, r_z = best_of(z_round)
+    def interleaved(mks):
+        # alternate the paths' reps so JIT warmth / GC state / co-tenant
+        # noise drift hits both equally instead of whichever runs later
+        # (observed: flat converged 143 → 59.8 across ITS OWN reps purely
+        # from session warmup); convergence-stop per path, bench.py
+        # discipline
+        firsts = [mk() for mk in mks]
+        gc_nudge()
+        walls = [[] for _ in mks]
+        best = [float("inf")] * len(mks)
+        stale = [0] * len(mks)
+        for _ in range(args.max_reps):
+            done = all(
+                len(walls[i]) >= args.reps and stale[i] >= 2
+                for i in range(len(mks))
+            )
+            if done:
+                break
+            for i, mk in enumerate(mks):
+                t0 = time.perf_counter()
+                row = mk()
+                w = time.perf_counter() - t0
+                walls[i].append(w)
+                gc_nudge()
+                assert (row["n"], row["ck"]) == (firsts[i]["n"],
+                                                 firsts[i]["ck"])
+                stale[i] = stale[i] + 1 if w > best[i] * 0.92 else 0
+                best[i] = min(best[i], w)
+        return best, walls, firsts
+
+    # scan-only decomposition: the same padded-bbox segment read each path
+    # feeds into round 1, forced through a full-column agg (so parquet
+    # actually decodes every candidate column) — isolates "scan the world,
+    # filter" vs "read the pruned buckets" from the join both paths share
+    def scan_only(df_mk):
+        def run():
+            return df_mk().agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("lon") + F.col("bx") + F.col("lat")
+                      + F.col("by")).alias("s"),
+            ).collect()[0]
+        run()
+        walls = []
+        for _ in range(max(args.reps, 4)):
+            t0 = time.perf_counter()
+            run()
+            walls.append(time.perf_counter() - t0)
+        return min(walls), walls
+
+    def flat_in():
+        return spark.read.parquet(flat_dir).filter(
+            (F.col("lon") >= read_bbox[0]) & (F.col("lon") <= read_bbox[2])
+            & (F.col("lat") >= read_bbox[1]) & (F.col("lat") <= read_bbox[3])
+        )
+
+    sc_flat, sc_flat_walls = scan_only(flat_in)
+    sc_z, sc_z_walls = scan_only(
+        lambda: layout.read_bbox(spark, z_dir, *read_bbox))
+    (t_flat, t_z), (w_flat, w_z), (r_flat, r_z) = interleaved(
+        [flat_round, z_round])
     assert (r_flat["n"], r_flat["ck"]) == (r_z["n"], r_z["ck"]), \
         (r_flat, r_z)
 
@@ -183,11 +244,18 @@ def main() -> int:
         "n_segments": args.n, "n_probes": args.m,
         "snapped_round1": r_flat["n"],
         "flat_wall_sec": round(t_flat, 3), "zorder_wall_sec": round(t_z, 3),
+        "flat_walls": [round(w, 2) for w in w_flat],
+        "zorder_walls": [round(w, 2) for w in w_z],
+        "scan_flat_sec": round(sc_flat, 3), "scan_zorder_sec": round(sc_z, 3),
+        "scan_flat_walls": [round(w, 2) for w in sc_flat_walls],
+        "scan_zorder_walls": [round(w, 2) for w in sc_z_walls],
+        "scan_speedup": round(sc_flat / sc_z, 2),
         "speedup": round(t_flat / t_z, 2),
         "layout_buckets": n_buckets, "buckets_probed": n_probed,
         "prune_ratio": round(n_buckets / max(n_probed, 1), 1),
     }))
-    shutil.rmtree(args.dir, ignore_errors=True)
+    if not args.keep:
+        shutil.rmtree(args.dir, ignore_errors=True)
     return 0
 
 
