@@ -148,6 +148,46 @@ def _decoded_bytes_cte() -> str:
     )
 
 
+def _channel_sums_sql() -> str:
+    """CTE chain ending in `sums(i, sr, sg, sb)`: per-image integer channel
+    sums via the splitmix64 replay (channel = byte position % 3)."""
+    return (
+        f"{_decoded_bytes_cte()}, "
+        f"sums AS (SELECT i,"
+        f" CAST(sum(dv) FILTER (p % 3 = 0) AS BIGINT) AS sr,"
+        f" CAST(sum(dv) FILTER (p % 3 = 1) AS BIGINT) AS sg,"
+        f" CAST(sum(dv) FILTER (p % 3 = 2) AS BIGINT) AS sb"
+        f" FROM dec GROUP BY i)"
+    )
+
+
+def _synth_pos_sql(n: int) -> str:
+    """`pos(i, lon, lat)` CTE body: the data/synth._position mirror for
+    synth_images(n) — hot-cluster CASE + md5-derived uniforms, the exact
+    expression forms Spark evaluates (shared by every geo5 oracle that
+    needs positions)."""
+    from ..data import synth
+
+    spread = synth._hot_spread(n)
+    h1 = hashes.md5i_sql("'lon' || CAST(i AS VARCHAR)")
+    h2 = hashes.md5i_sql("'lat' || CAST(i AS VARCHAR)")
+    u1 = f"(CAST(({h1}) % 1000000 AS DOUBLE) / {dlit(1_000_000.0)})"
+    u2 = f"(CAST(({h2}) % 1000000 AS DOUBLE) / {dlit(1_000_000.0)})"
+    lon = (
+        f"(CASE WHEN i % {synth.HOT_FRAC_MOD} = 0 THEN {dlit(synth.HOT_LON)}"
+        f" + ({u1} - {dlit(0.5)}) * {dlit(spread)}"
+        f" ELSE {dlit(synth.LON_MIN)}"
+        f" + {u1} * {dlit(synth.LON_MAX - synth.LON_MIN)} END)"
+    )
+    lat = (
+        f"(CASE WHEN i % {synth.HOT_FRAC_MOD} = 0 THEN {dlit(synth.HOT_LAT)}"
+        f" + ({u2} - {dlit(0.5)}) * {dlit(spread)}"
+        f" ELSE {dlit(synth.LAT_MIN)}"
+        f" + {u2} * {dlit(synth.LAT_MAX - synth.LAT_MIN)} END)"
+    )
+    return f"SELECT i, {lon} AS lon, {lat} AS lat FROM imgs"
+
+
 def q_tile_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..data import synth
 
@@ -166,41 +206,13 @@ def q_tile_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_tile_image_stats() -> str:
-    from ..data import synth
-
-    # --- pixel channel sums: splitmix64 replay (channel = p % 3) --------
-    sums = (
-        f"{_decoded_bytes_cte()}, "
-        f"sums AS (SELECT i,"
-        f" CAST(sum(dv) FILTER (p % 3 = 0) AS BIGINT) AS sr,"
-        f" CAST(sum(dv) FILTER (p % 3 = 1) AS BIGINT) AS sg,"
-        f" CAST(sum(dv) FILTER (p % 3 = 2) AS BIGINT) AS sb"
-        f" FROM dec GROUP BY i)"
-    )
-    # --- positions: data/synth._position mirror -------------------------
-    spread = synth._hot_spread(TIS_N)
-    h1 = hashes.md5i_sql("'lon' || CAST(i AS VARCHAR)")
-    h2 = hashes.md5i_sql("'lat' || CAST(i AS VARCHAR)")
-    u1 = f"(CAST(({h1}) % 1000000 AS DOUBLE) / {dlit(1_000_000.0)})"
-    u2 = f"(CAST(({h2}) % 1000000 AS DOUBLE) / {dlit(1_000_000.0)})"
-    lon = (
-        f"(CASE WHEN i % {synth.HOT_FRAC_MOD} = 0 THEN {dlit(synth.HOT_LON)}"
-        f" + ({u1} - {dlit(0.5)}) * {dlit(spread)}"
-        f" ELSE {dlit(synth.LON_MIN)}"
-        f" + {u1} * {dlit(synth.LON_MAX - synth.LON_MIN)} END)"
-    )
-    lat = (
-        f"(CASE WHEN i % {synth.HOT_FRAC_MOD} = 0 THEN {dlit(synth.HOT_LAT)}"
-        f" + ({u2} - {dlit(0.5)}) * {dlit(spread)}"
-        f" ELSE {dlit(synth.LAT_MIN)}"
-        f" + {u2} * {dlit(synth.LAT_MAX - synth.LAT_MIN)} END)"
-    )
+    sums = _channel_sums_sql()
     grid = TileGrid(tile_m=TIS_TILE_M)
     tile = grid.tile_id_sql("lon", "lat")
     return (
         f"WITH imgs AS (SELECT CAST(i AS BIGINT) AS i FROM range({TIS_N}) t(i)), "
         f"{sums}, "
-        f"pos AS (SELECT i, {lon} AS lon, {lat} AS lat FROM imgs), "
+        f"pos AS ({_synth_pos_sql(TIS_N)}), "
         f"tiled AS (SELECT i, {tile} AS tile_id FROM pos) "
         f"SELECT tile_id, count(*) AS n_images,"
         f" CAST(sum(sr) AS BIGINT) AS sum_r,"
@@ -501,3 +513,84 @@ def _sql_audio_features() -> str:
 
 
 QUERIES["audio_features"] = (q_audio_features, _sql_audio_features())
+
+
+# ---------------------------------------------------------------------------
+# zonal_stats — raster×vector zonal statistics over REAL decoded pixels
+# ---------------------------------------------------------------------------
+# The classic raster-analysis operator (rasterstats / PostGIS ST_SummaryStats
+# by zone): per-polygon-zone aggregates of the pixel values whose images fall
+# inside the zone. Reference behavior: the AOI-clipping + per-boundary rollups
+# of osm_merge/geosupport.py, lifted from "count features in a boundary" to
+# "aggregate decoded raster content by boundary". Zones are slanted
+# (non-axis-aligned) quads so the ray cast is exercised for real (a bbox test
+# cannot reproduce them); they deliberately OVERLAP (hot ⊂ east, south ∩
+# west/east) — the general zonal-stats contract is per-zone fan-out, not a
+# partition of space. One zone covers the synth hot cluster, so the skewed
+# key is present in the output.
+#
+# 100 TB story: pixels reduce to three longs per image executor-side inside
+# mapInPandas (bytes never shuffle, same kernel as tile_image_stats); zone
+# membership is ONE scan with an array_compact fan-out over the literal zone
+# list (≤|zones| rows out per image, whole-stage codegen, no join); the agg
+# is map-side-combinable on |zones| keys. With millions of zones instead of a
+# literal handful, membership becomes the cell-indexed PIP join (J8,
+# queries/etl2.q_pip_join) — the kernel and the rollup stay unchanged.
+ZONES: dict[str, list[tuple[float, float]]] = {
+    # slanted quads in the synth AOI (lon −109.2..−108.2, lat 43.4..44.0)
+    "west": [(-109.15, 43.45), (-108.75, 43.50), (-108.80, 43.95),
+             (-109.10, 43.90)],
+    "east": [(-108.72, 43.42), (-108.25, 43.48), (-108.30, 43.97),
+             (-108.68, 43.93)],
+    "hot":  [(-108.78, 43.62), (-108.62, 43.64), (-108.60, 43.78),
+             (-108.80, 43.76)],
+    "south": [(-109.00, 43.41), (-108.40, 43.43), (-108.45, 43.58),
+              (-108.95, 43.55)],
+}
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..data import synth
+    from ..functions import geo
+
+    img = synth.synth_images(spark, TIS_N, with_bytes=True)
+    sums = _decode_channel_sums(img)
+    zhits = F.array_compact(F.array(*[
+        F.when(
+            geo.point_in_fixed_ring(F.col("lon"), F.col("lat"), ring),
+            F.lit(zid),
+        ).otherwise(F.lit(None).cast("string"))
+        for zid, ring in ZONES.items()
+    ]))
+    member = img.select("image_id", F.explode(zhits).alias("zone_id"))
+    return member.join(sums, "image_id").groupBy("zone_id").agg(
+        F.count("*").alias("n_images"),
+        F.sum("sr").alias("sum_r"),
+        F.sum("sg").alias("sum_g"),
+        F.sum("sb").alias("sum_b"),
+    )
+
+
+def _sql_zonal_stats() -> str:
+    from ..functions.geo import point_in_fixed_ring_sql
+
+    member = " UNION ALL ".join(
+        f"SELECT i, '{zid}' AS zone_id FROM pos"
+        f" WHERE {point_in_fixed_ring_sql('lon', 'lat', ring)}"
+        for zid, ring in ZONES.items()
+    )
+    return (
+        f"WITH imgs AS (SELECT CAST(i AS BIGINT) AS i"
+        f" FROM range({TIS_N}) t(i)), "
+        f"{_channel_sums_sql()}, "
+        f"pos AS ({_synth_pos_sql(TIS_N)}), "
+        f"member AS ({member}) "
+        f"SELECT zone_id, count(*) AS n_images,"
+        f" CAST(sum(sr) AS BIGINT) AS sum_r,"
+        f" CAST(sum(sg) AS BIGINT) AS sum_g,"
+        f" CAST(sum(sb) AS BIGINT) AS sum_b"
+        f" FROM member JOIN sums USING (i) GROUP BY zone_id"
+    )
+
+
+QUERIES["zonal_stats"] = (q_zonal_stats, _sql_zonal_stats())
