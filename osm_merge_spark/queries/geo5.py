@@ -594,3 +594,106 @@ def _sql_zonal_stats() -> str:
 
 
 QUERIES["zonal_stats"] = (q_zonal_stats, _sql_zonal_stats())
+
+
+# ---------------------------------------------------------------------------
+# pyramid_pixel_rollup — raster overview levels from decoded pixel sums
+# ---------------------------------------------------------------------------
+# The overview/pyramid build every tile service runs (gdaladdo, COG
+# overviews, tm-splitter's zoom ladder): level-0 per-tile channel sums from
+# REAL decoded pixels, then L parent levels where tile (tx,ty) at level k
+# aggregates its 2×2 children at level k−1. floor(x/2.0) — not integer
+# division — so negative web-mercator tile coords floor identically in both
+# engines (Spark div truncates toward zero, DuckDB // floors).
+#
+# 100 TB story: level 0 is the tile_image_stats shape (pixels reduce
+# executor-side, map-side combine onto |tiles| keys); every level above
+# aggregates the PREVIOUS level's |tiles_k| rows — corpus bytes are read
+# exactly once no matter how many overview levels are built, and each
+# rollup's shuffle carries ≤|tiles_k|/4 rows per task.
+PYR_LEVELS = 2  # parent levels above level 0
+
+
+def q_pyramid_pixel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..data import synth
+
+    img = synth.synth_images(spark, TIS_N, with_bytes=True)
+    sums = _decode_channel_sums(img)
+    grid = TileGrid(tile_m=TIS_TILE_M)
+    keyed = img.select(
+        "image_id",
+        grid.tile_x(F.col("lon")).alias("tx"),
+        grid.tile_y(F.col("lat")).alias("ty"),
+    ).join(sums, "image_id")
+    cur = keyed.groupBy("tx", "ty").agg(
+        F.count("*").alias("n_images"),
+        F.sum("sr").alias("sum_r"),
+        F.sum("sg").alias("sum_g"),
+        F.sum("sb").alias("sum_b"),
+    )
+    out = cur.select(F.lit(0).alias("level"), "tx", "ty", "n_images",
+                     "sum_r", "sum_g", "sum_b")
+    for lvl in range(1, PYR_LEVELS + 1):
+        cur = (
+            cur.groupBy(
+                F.floor(F.col("tx") / F.lit(2.0)).alias("tx"),
+                F.floor(F.col("ty") / F.lit(2.0)).alias("ty"),
+            )
+            .agg(
+                F.sum("n_images").alias("n_images"),
+                F.sum("sum_r").alias("sum_r"),
+                F.sum("sum_g").alias("sum_g"),
+                F.sum("sum_b").alias("sum_b"),
+            )
+        )
+        out = out.unionByName(
+            cur.select(F.lit(lvl).alias("level"), "tx", "ty", "n_images",
+                       "sum_r", "sum_g", "sum_b")
+        )
+    return out
+
+
+def _sql_pyramid_pixel_rollup() -> str:
+    from ..functions.geo import dlit as _dlit
+    from ..functions.geo import mercator_x_sql, mercator_y_sql
+
+    size = _dlit(TIS_TILE_M)
+    levels = [
+        "l0 AS (SELECT tx, ty, count(*) AS n_images,"
+        " CAST(sum(sr) AS BIGINT) AS sum_r,"
+        " CAST(sum(sg) AS BIGINT) AS sum_g,"
+        " CAST(sum(sb) AS BIGINT) AS sum_b"
+        " FROM t0 JOIN sums USING (i) GROUP BY tx, ty)"
+    ]
+    for lvl in range(1, PYR_LEVELS + 1):
+        levels.append(
+            f"l{lvl} AS (SELECT CAST(floor(tx / 2.0) AS BIGINT) AS tx,"
+            f" CAST(floor(ty / 2.0) AS BIGINT) AS ty,"
+            f" CAST(sum(n_images) AS BIGINT) AS n_images,"
+            f" CAST(sum(sum_r) AS BIGINT) AS sum_r,"
+            f" CAST(sum(sum_g) AS BIGINT) AS sum_g,"
+            f" CAST(sum(sum_b) AS BIGINT) AS sum_b"
+            f" FROM l{lvl - 1} GROUP BY 1, 2)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {lvl} AS level, tx, ty, n_images, sum_r, sum_g, sum_b"
+        f" FROM l{lvl}"
+        for lvl in range(PYR_LEVELS + 1)
+    )
+    return (
+        f"WITH imgs AS (SELECT CAST(i AS BIGINT) AS i"
+        f" FROM range({TIS_N}) t(i)), "
+        f"{_channel_sums_sql()}, "
+        f"pos AS ({_synth_pos_sql(TIS_N)}), "
+        f"t0 AS (SELECT i,"
+        f" CAST(floor(({mercator_x_sql('lon')}) / {size}) AS BIGINT) AS tx,"
+        f" CAST(floor(({mercator_y_sql('lat')}) / {size}) AS BIGINT) AS ty"
+        f" FROM pos), "
+        f"{', '.join(levels)} "
+        f"{union}"
+    )
+
+
+QUERIES["pyramid_pixel_rollup"] = (
+    q_pyramid_pixel_rollup, _sql_pyramid_pixel_rollup()
+)
