@@ -104,3 +104,42 @@ def test_zlayout_delta_is_the_snapshot_diff(spark, sf_dir):
         base_version = (fid % 3) + 1
         expect = base_version + 1 if fid % 10 == 0 else base_version
         assert r["version"] == expect
+
+
+def test_zonal_membership_is_joinless_fanout(spark, sf_dir):
+    """Zone membership must be ONE scan with a codegen array fan-out —
+    no join node before the rollup's single exchange (the sums join is
+    the only join in the full query)."""
+    from osm_merge_spark.queries.geo5 import ZONES, q_zonal_stats
+
+    plan = q_zonal_stats(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    # exactly one join (membership x sums); membership itself adds none
+    assert plan.count("HashJoin") == 1
+    # overlap fan-out is real: members exceed any single zone's count
+    out = {r["zone_id"]: r["n_images"]
+           for r in q_zonal_stats(spark, sf_dir).collect()}
+    assert set(out) == set(ZONES)
+    assert sum(out.values()) > max(out.values())
+
+
+def test_pyramid_levels_conserve_mass(spark, sf_dir):
+    """Every overview level must aggregate to the same image count and
+    channel totals as level 0 (2x2 rollup loses nothing), and parent tile
+    counts must shrink or hold level over level."""
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries.geo5 import PYR_LEVELS, q_pyramid_pixel_rollup
+
+    agg = q_pyramid_pixel_rollup(spark, sf_dir).groupBy("level").agg(
+        F.sum("n_images").alias("n"),
+        F.sum("sum_r").alias("r"),
+        F.count("*").alias("tiles"),
+    ).collect()
+    by_level = {r["level"]: r for r in agg}
+    assert set(by_level) == set(range(PYR_LEVELS + 1))
+    base = by_level[0]
+    for lvl in range(1, PYR_LEVELS + 1):
+        assert (by_level[lvl]["n"], by_level[lvl]["r"]) == (base["n"], base["r"])
+        assert by_level[lvl]["tiles"] <= by_level[lvl - 1]["tiles"]
