@@ -308,3 +308,69 @@ def phash_dedup_batch(batch_df: DataFrame, batch_id: int, seen_dir: str,
         h.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
     finally:
         h.unpersist()
+
+
+def zonal_image_rollup(images_stream: DataFrame) -> DataFrame:
+    """Streaming twin of queries/geo5.q_zonal_stats: per-zone rollups of
+    decoded pixel channel sums, maintained incrementally at ingest (the
+    live-dashboard shape: "coverage per operations zone so far today").
+
+    One stateless mapInPandas decodes each micro-batch's images to three
+    longs (bytes never enter state or shuffle), the zone membership is the
+    same joinless array_compact ray-cast fan-out as the batch query, and
+    the per-zone aggregation is the streaming state — |zones| rows of four
+    counters, the cheapest state Structured Streaming can hold (contrast
+    dedup_stream's per-key state). Drain with output_mode="complete"
+    (run_available_now's default): every micro-batch emits the
+    running totals.
+    """
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        from ..data import images as codec
+
+        for pdf in batches:
+            out = {"image_id": [], "lon": [], "lat": [],
+                   "sr": [], "sg": [], "sb": []}
+            for iid, lon, lat, buf, fmt in zip(
+                    pdf["image_id"], pdf["lon"], pdf["lat"],
+                    pdf["bytes"], pdf["fmt"]):
+                px = codec.decode(bytes(buf), fmt).astype(np.int64)
+                s = px.reshape(-1, 3).sum(axis=0)
+                out["image_id"].append(iid)
+                out["lon"].append(float(lon))
+                out["lat"].append(float(lat))
+                out["sr"].append(int(s[0]))
+                out["sg"].append(int(s[1]))
+                out["sb"].append(int(s[2]))
+            yield pd.DataFrame(out)
+
+    dec = images_stream.select(
+        "image_id", "lon", "lat", "bytes", "fmt"
+    ).mapInPandas(
+        run,
+        schema="image_id string, lon double, lat double,"
+               " sr long, sg long, sb long",
+    )
+
+    from ..functions import geo as geofn
+    from ..queries.geo5 import ZONES
+
+    zhits = F.array_compact(F.array(*[
+        F.when(
+            geofn.point_in_fixed_ring(F.col("lon"), F.col("lat"), ring),
+            F.lit(zid),
+        ).otherwise(F.lit(None).cast("string"))
+        for zid, ring in ZONES.items()
+    ]))
+    member = dec.select(
+        F.explode(zhits).alias("zone_id"), "sr", "sg", "sb"
+    )
+    return member.groupBy("zone_id").agg(
+        F.count("*").alias("n_images"),
+        F.sum("sr").alias("sum_r"),
+        F.sum("sg").alias("sum_g"),
+        F.sum("sb").alias("sum_b"),
+    )

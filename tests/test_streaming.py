@@ -267,3 +267,32 @@ def test_phash_dedup_batch_replay_is_idempotent(spark, tmp_path):
     jobs.phash_dedup_batch(batch, 1, seen_dir, out_dir)
     after = {r.image_id for r in spark.read.parquet(out_dir).collect()}
     assert after == first  # batch 1 rows are all dups of batch 0's
+
+
+def test_zonal_rollup_stream_equals_batch_query(spark, tmp_path):
+    """Streaming per-zone pixel rollups across micro-batches must equal the
+    batch q_zonal_stats rows exactly (counts and integer channel sums)."""
+    from osm_merge_spark.data import synth
+    from osm_merge_spark.queries.geo5 import TIS_N, q_zonal_stats
+
+    src = str(tmp_path / "zimg")
+    synth.synth_images(spark, TIS_N, with_bytes=True) \
+        .repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)  # several micro-batches
+        .parquet(src)
+    )
+    got = {
+        r["zone_id"]: (r["n_images"], r["sum_r"], r["sum_g"], r["sum_b"])
+        for r in jobs.run_available_now(
+            jobs.zonal_image_rollup(stream), str(tmp_path / "ckz"),
+            query_name="zonal",
+        ).collect()
+    }
+    want = {
+        r["zone_id"]: (r["n_images"], r["sum_r"], r["sum_g"], r["sum_b"])
+        for r in q_zonal_stats(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want and len(got) == 4
