@@ -697,3 +697,78 @@ def _sql_pyramid_pixel_rollup() -> str:
 QUERIES["pyramid_pixel_rollup"] = (
     q_pyramid_pixel_rollup, _sql_pyramid_pixel_rollup()
 )
+
+
+# ---------------------------------------------------------------------------
+# focal_stats — 3×3 neighborhood (focal) statistics over the cell raster
+# ---------------------------------------------------------------------------
+# The raster "focal mean" / kernel-density-lite every cartographic heatmap
+# runs (GDAL focal statistics, PostGIS ST_MapAlgebra neighborhood): rasterize
+# the image stream to per-cell counts, then each cell aggregates its 3×3
+# neighborhood. Sparse-raster semantics: only PRESENT neighbors contribute
+# (nodata cells are absent rows, not zeros), so the output carries the
+# neighbor count alongside the sum — integer-exact in both engines; a mean
+# would be sum/n downstream.
+#
+# 100 TB story: the corpus collapses to |cells| rows in the FIRST map-side-
+# combinable agg; the 9× neighbor explode and the second agg ride |cells|,
+# never corpus rows (same cost class as the pyramid rollup's upper levels).
+# The hot cluster's skew is absorbed by the first agg's partial combine —
+# the neighbor shuffle sees one row per (cell, offset), whatever the count.
+FOCAL_TILE_M = 5_000.0  # ~5 km cells → a few hundred over the AOI
+
+
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import base
+
+    grid = TileGrid(tile_m=FOCAL_TILE_M)
+    img = base.images_df(spark, sf_dir)
+    counts = img.select(
+        grid.tile_x(F.col("lon")).alias("tx"),
+        grid.tile_y(F.col("lat")).alias("ty"),
+    ).groupBy("tx", "ty").agg(F.count("*").alias("cnt"))
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])).alias("o")
+    nb = counts.select(off, "tx", "ty", "cnt").select(
+        (F.col("tx") + F.col("o.dx")).alias("tx"),
+        (F.col("ty") + F.col("o.dy")).alias("ty"),
+        "cnt",
+    )
+    focal = nb.groupBy("tx", "ty").agg(
+        F.sum("cnt").alias("focal_sum"),
+        F.count("*").alias("n_neighbors"),
+    )
+    # report only cells that exist in the raster (join back to counts),
+    # keeping the sparse-raster contract: no rows for empty cells;
+    # shuffle_hash per engine doctrine — both sides are |cells| rows and
+    # already hash-clustered, SMJ would add two needless sorts
+    return counts.join(focal.hint("shuffle_hash"), ["tx", "ty"]).select(
+        "tx", "ty", "cnt", "focal_sum", "n_neighbors"
+    )
+
+
+def _sql_focal_stats() -> str:
+    from . import base
+    from ..functions.geo import dlit as _dlit
+    from ..functions.geo import mercator_x_sql, mercator_y_sql
+
+    size = _dlit(FOCAL_TILE_M)
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"counts AS (SELECT"
+        f" CAST(floor(({mercator_x_sql('lon')}) / {size}) AS BIGINT) AS tx,"
+        f" CAST(floor(({mercator_y_sql('lat')}) / {size}) AS BIGINT) AS ty,"
+        f" count(*) AS cnt FROM img GROUP BY 1, 2), "
+        f"nb AS (SELECT tx + dx AS tx, ty + dy AS ty, cnt"
+        f" FROM counts, (SELECT unnest([-1, 0, 1]) AS dx) ox,"
+        f" (SELECT unnest([-1, 0, 1]) AS dy) oy), "
+        f"focal AS (SELECT tx, ty, CAST(sum(cnt) AS BIGINT) AS focal_sum,"
+        f" count(*) AS n_neighbors FROM nb GROUP BY tx, ty) "
+        f"SELECT tx, ty, cnt, focal_sum, n_neighbors"
+        f" FROM counts JOIN focal USING (tx, ty)"
+    )
+
+
+QUERIES["focal_stats"] = (q_focal_stats, _sql_focal_stats())
