@@ -772,3 +772,138 @@ def _sql_focal_stats() -> str:
 
 
 QUERIES["focal_stats"] = (q_focal_stats, _sql_focal_stats())
+
+
+# ---------------------------------------------------------------------------
+# stay_points — trajectory dwell detection (stay-point mining)
+# ---------------------------------------------------------------------------
+# The standard trajectory-mining primitive (Li/Zheng 2008 stay points, GPS
+# trace segmentation): split each trace where the inter-ping step exceeds a
+# movement threshold, keep maximal dwell runs of >= SP_MIN_PINGS pings.
+# Fixture: per-supplier traces that MOVE at 0.002 deg/step except two frozen
+# phases (pings 7-12 and 17-22) holding position with ±1e-6 jitter — so the
+# expected output is exactly two stay points per trace, found by the
+# operator, not planted in it. Segmentation = lag-window break flags +
+# cumsum run ids, both partitioned by trace (per-key window state — the
+# scalable window shape; no global sort). Centroids are avg() rounded to
+# 1e-6, three orders above the engines' float-sum order jitter; the span
+# columns are integer-exact.
+#
+# 100 TB story: windows partition by trace id (bounded per-key state, the
+# same contract as sessionize); the explode fans each trace row to its ping
+# count and the rollup collapses it back — corpus bytes ride the shuffle
+# once, as (trace, ping) slim rows.
+SP_N = 24
+SP_DWELL = ((7, 12), (17, 22))   # inclusive ping-index dwell phases
+SP_STEP = 0.002                  # moving step in degrees
+SP_THR2 = 1.0e-6                 # squared-degree break threshold (~110 m)
+SP_MIN_PINGS = 4
+
+
+def _dwell_trace_df(spark: SparkSession, sf_dir: str):
+    from ..functions.barrier import eval_once
+    from . import base
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("s_suppkey").cast("long")
+    x0 = F.lit(base.LON_MIN) + F.lit(0.1) + base.u01(k, 41) * F.lit(0.6)
+    y0 = F.lit(base.LAT_MIN) + F.lit(0.1) + base.u01(k, 42) * F.lit(0.4)
+    idx = F.sequence(F.lit(1), F.lit(SP_N))
+
+    def anchor(i):
+        # dwell phases freeze the position at the phase's entry index
+        a = i.cast("double")
+        for lo, hi in SP_DWELL:
+            a = F.when((i >= lo) & (i <= hi), F.lit(float(lo))).otherwise(a)
+        return a
+
+    def jit(i, salt):
+        return (base.u01(k * F.lit(131) + i, salt) - F.lit(0.5)) * F.lit(2.0e-6)
+
+    xs = F.transform(idx, lambda i: x0 + anchor(i) * F.lit(SP_STEP) + jit(i, 43))
+    ys = F.transform(idx, lambda i: y0 + anchor(i) * F.lit(5.0e-4) + jit(i, 44))
+    return eval_once(
+        sup.select(k.alias("trace_id"), xs.alias("xs"), ys.alias("ys")),
+        ["xs", "ys"],
+    )
+
+
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tr = _dwell_trace_df(spark, sf_dir)
+    p = tr.select(
+        "trace_id", F.posexplode(F.arrays_zip("xs", "ys")).alias("i", "p")
+    ).select(
+        "trace_id", (F.col("i") + 1).alias("idx"),
+        F.col("p.xs").alias("x"), F.col("p.ys").alias("y"),
+    )
+    w = Window.partitionBy("trace_id").orderBy("idx")
+    dx = F.col("x") - F.lag("x").over(w)
+    dy = F.col("y") - F.lag("y").over(w)
+    brk = F.when(
+        F.lag("x").over(w).isNull() | (dx * dx + dy * dy > F.lit(SP_THR2)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    seg = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = p.withColumn("seg", seg).groupBy("trace_id", "seg").agg(
+        F.count("*").alias("n_pings"),
+        F.min("idx").alias("i_start"),
+        F.max("idx").alias("i_end"),
+        F.round(F.avg("x"), 6).alias("cx6"),
+        F.round(F.avg("y"), 6).alias("cy6"),
+    )
+    return runs.filter(F.col("n_pings") >= SP_MIN_PINGS).select(
+        "trace_id", "i_start", "i_end", "n_pings", "cx6", "cy6"
+    )
+
+
+def _sql_stay_points() -> str:
+    from ..functions.geo import dlit as _dlit
+    from . import base
+
+    anchor = "CAST(i AS DOUBLE)"
+    for lo, hi in SP_DWELL:
+        anchor = (f"CASE WHEN i >= {lo} AND i <= {hi}"
+                  f" THEN {_dlit(float(lo))} ELSE {anchor} END")
+
+    def jit(salt):
+        return f"({base.u01_sql('k * 131 + i', salt)} - 5.0e-1) * 2.0e-6"
+
+    trace = (
+        f"SELECT k AS trace_id,"
+        f" list_transform(range(1, {SP_N} + 1),"
+        f" i -> x0 + ({anchor}) * {_dlit(SP_STEP)} + {jit(43)}) AS xs,"
+        f" list_transform(range(1, {SP_N} + 1),"
+        f" i -> y0 + ({anchor}) * 5.0e-4 + {jit(44)}) AS ys"
+        f" FROM (SELECT k,"
+        f" {_dlit(base.LON_MIN)} + 1.0e-1 + {base.u01_sql('k', 41)} * 6.0e-1 AS x0,"
+        f" {_dlit(base.LAT_MIN)} + 1.0e-1 + {base.u01_sql('k', 42)} * 4.0e-1 AS y0"
+        f" FROM (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier) s) t"
+    )
+    return (
+        f"WITH tr AS ({trace}), "
+        f"p AS (SELECT trace_id, i AS idx, xs[i] AS x, ys[i] AS y"
+        f" FROM tr, range(1, {SP_N} + 1) r(i)), "
+        f"st AS (SELECT trace_id, idx, x, y,"
+        f" lag(x) OVER w AS px, lag(y) OVER w AS py"
+        f" FROM p WINDOW w AS (PARTITION BY trace_id ORDER BY idx)), "
+        f"bk AS (SELECT trace_id, idx, x, y,"
+        f" CASE WHEN px IS NULL OR (x - px) * (x - px)"
+        f" + (y - py) * (y - py) > {_dlit(SP_THR2)} THEN 1 ELSE 0 END AS brk"
+        f" FROM st), "
+        f"sg AS (SELECT trace_id, idx, x, y,"
+        f" sum(brk) OVER (PARTITION BY trace_id ORDER BY idx"
+        f" ROWS UNBOUNDED PRECEDING) AS seg FROM bk), "
+        f"runs AS (SELECT trace_id, seg, count(*) AS n_pings,"
+        f" min(idx) AS i_start, max(idx) AS i_end,"
+        f" round(avg(x), 6) AS cx6, round(avg(y), 6) AS cy6"
+        f" FROM sg GROUP BY trace_id, seg) "
+        f"SELECT trace_id, i_start, i_end, n_pings, cx6, cy6"
+        f" FROM runs WHERE n_pings >= {SP_MIN_PINGS}"
+    )
+
+
+QUERIES["stay_points"] = (q_stay_points, _sql_stay_points())
