@@ -794,7 +794,9 @@ QUERIES["focal_stats"] = (q_focal_stats, _sql_focal_stats())
 # count and the rollup collapses it back — corpus bytes ride the shuffle
 # once, as (trace, ping) slim rows.
 SP_N = 24
-SP_DWELL = ((7, 12), (17, 22))   # inclusive ping-index dwell phases
+SP_DWELL = ((7, 12, 0.0), (17, 22, 120.0))  # (lo, hi, x-anchor offset
+#   in steps): phase 2 dwells 0.24 deg east of its trace — the "commute"
+#   leg that makes the OD matrix carry real cross-zone flows
 SP_STEP = 0.002                  # moving step in degrees
 SP_THR2 = 1.0e-6                 # squared-degree break threshold (~110 m)
 SP_MIN_PINGS = 4
@@ -811,16 +813,26 @@ def _dwell_trace_df(spark: SparkSession, sf_dir: str):
     idx = F.sequence(F.lit(1), F.lit(SP_N))
 
     def anchor(i):
-        # dwell phases freeze the position at the phase's entry index
+        # dwell phases freeze the position at the phase's entry index,
+        # displaced by the phase's x-anchor offset (y ignores the offset:
+        # the commute is an eastward leg)
         a = i.cast("double")
-        for lo, hi in SP_DWELL:
+        for lo, hi, _ in SP_DWELL:
             a = F.when((i >= lo) & (i <= hi), F.lit(float(lo))).otherwise(a)
+        return a
+
+    def anchor_x(i):
+        a = anchor(i)
+        for lo, hi, off in SP_DWELL:
+            if off:
+                a = F.when((i >= lo) & (i <= hi),
+                           F.lit(float(lo) + off)).otherwise(a)
         return a
 
     def jit(i, salt):
         return (base.u01(k * F.lit(131) + i, salt) - F.lit(0.5)) * F.lit(2.0e-6)
 
-    xs = F.transform(idx, lambda i: x0 + anchor(i) * F.lit(SP_STEP) + jit(i, 43))
+    xs = F.transform(idx, lambda i: x0 + anchor_x(i) * F.lit(SP_STEP) + jit(i, 43))
     ys = F.transform(idx, lambda i: y0 + anchor(i) * F.lit(5.0e-4) + jit(i, 44))
     return eval_once(
         sup.select(k.alias("trace_id"), xs.alias("xs"), ys.alias("ys")),
@@ -865,9 +877,12 @@ def _sql_stay_points() -> str:
     from . import base
 
     anchor = "CAST(i AS DOUBLE)"
-    for lo, hi in SP_DWELL:
+    anchor_x = "CAST(i AS DOUBLE)"
+    for lo, hi, off in SP_DWELL:
         anchor = (f"CASE WHEN i >= {lo} AND i <= {hi}"
                   f" THEN {_dlit(float(lo))} ELSE {anchor} END")
+        anchor_x = (f"CASE WHEN i >= {lo} AND i <= {hi}"
+                    f" THEN {_dlit(float(lo) + off)} ELSE {anchor_x} END")
 
     def jit(salt):
         return f"({base.u01_sql('k * 131 + i', salt)} - 5.0e-1) * 2.0e-6"
@@ -875,7 +890,7 @@ def _sql_stay_points() -> str:
     trace = (
         f"SELECT k AS trace_id,"
         f" list_transform(range(1, {SP_N} + 1),"
-        f" i -> x0 + ({anchor}) * {_dlit(SP_STEP)} + {jit(43)}) AS xs,"
+        f" i -> x0 + ({anchor_x}) * {_dlit(SP_STEP)} + {jit(43)}) AS xs,"
         f" list_transform(range(1, {SP_N} + 1),"
         f" i -> y0 + ({anchor}) * 5.0e-4 + {jit(44)}) AS ys"
         f" FROM (SELECT k,"
@@ -907,3 +922,65 @@ def _sql_stay_points() -> str:
 
 
 QUERIES["stay_points"] = (q_stay_points, _sql_stay_points())
+
+
+# ---------------------------------------------------------------------------
+# od_matrix — origin→destination flows between zones, from stay points
+# ---------------------------------------------------------------------------
+# The mobility-analytics staple (OD matrices drive transit planning and the
+# reference's fieldwork-allocation question "which AOI do mappers move to
+# next"): consecutive stay points of a trace become a trip; trips aggregate
+# to (zone_from, zone_to) counts. Composes two r5 operators — stay_points
+# supplies the dwells, ZONES + the ray cast supply the zoning; zone
+# assignment is first-match in declaration order ('none' when outside all),
+# so overlapping zones stay deterministic in both engines.
+#
+# 100 TB story: runs entirely on the stay-point table (|traces|·dwells
+# rows, already corpus-collapsed); the lead() window partitions by trace;
+# the final agg carries ≤|zones|² keys through one exchange.
+def _zone_case(x, y):
+    from ..functions import geo as geofn
+
+    z = F.lit("none")
+    for zid, ring in reversed(list(ZONES.items())):
+        z = F.when(geofn.point_in_fixed_ring(x, y, ring), F.lit(zid)) \
+             .otherwise(z)
+    return z
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sp = q_stay_points(spark, sf_dir).withColumn(
+        "zone", _zone_case(F.col("cx6"), F.col("cy6"))
+    )
+    w = Window.partitionBy("trace_id").orderBy("i_start")
+    trips = sp.select(
+        "trace_id",
+        F.col("zone").alias("zone_from"),
+        F.lead("zone").over(w).alias("zone_to"),
+    ).filter(F.col("zone_to").isNotNull())
+    return trips.groupBy("zone_from", "zone_to").agg(
+        F.count("*").alias("n_trips")
+    )
+
+
+def _sql_od_matrix() -> str:
+    from ..functions.geo import point_in_fixed_ring_sql
+
+    case = "'none'"
+    for zid, ring in reversed(list(ZONES.items())):
+        case = (f"CASE WHEN {point_in_fixed_ring_sql('cx6', 'cy6', ring)}"
+                f" THEN '{zid}' ELSE {case} END")
+    return (
+        f"WITH sp AS ({_sql_stay_points()}), "
+        f"z AS (SELECT trace_id, i_start, {case} AS zone FROM sp), "
+        f"trips AS (SELECT trace_id, zone AS zone_from,"
+        f" lead(zone) OVER (PARTITION BY trace_id ORDER BY i_start)"
+        f" AS zone_to FROM z) "
+        f"SELECT zone_from, zone_to, count(*) AS n_trips FROM trips"
+        f" WHERE zone_to IS NOT NULL GROUP BY zone_from, zone_to"
+    )
+
+
+QUERIES["od_matrix"] = (q_od_matrix, _sql_od_matrix())
