@@ -872,7 +872,10 @@ def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_stay_points() -> str:
+def dwell_trace_sql() -> str:
+    """DuckDB mirror of _dwell_trace_df: `SELECT trace_id, xs, ys` — shared
+    by every oracle that consumes the dwell-trace fixture (stay_points,
+    od_matrix, map_match, co_dwell)."""
     from ..functions.geo import dlit as _dlit
     from . import base
 
@@ -887,7 +890,7 @@ def _sql_stay_points() -> str:
     def jit(salt):
         return f"({base.u01_sql('k * 131 + i', salt)} - 5.0e-1) * 2.0e-6"
 
-    trace = (
+    return (
         f"SELECT k AS trace_id,"
         f" list_transform(range(1, {SP_N} + 1),"
         f" i -> x0 + ({anchor_x}) * {_dlit(SP_STEP)} + {jit(43)}) AS xs,"
@@ -898,8 +901,13 @@ def _sql_stay_points() -> str:
         f" {_dlit(base.LAT_MIN)} + 1.0e-1 + {base.u01_sql('k', 42)} * 4.0e-1 AS y0"
         f" FROM (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier) s) t"
     )
+
+
+def _sql_stay_points() -> str:
+    from ..functions.geo import dlit as _dlit
+
     return (
-        f"WITH tr AS ({trace}), "
+        f"WITH tr AS ({dwell_trace_sql()}), "
         f"p AS (SELECT trace_id, i AS idx, xs[i] AS x, ys[i] AS y"
         f" FROM tr, range(1, {SP_N} + 1) r(i)), "
         f"st AS (SELECT trace_id, idx, x, y,"

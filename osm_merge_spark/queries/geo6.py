@@ -150,3 +150,314 @@ def _sql_mnn_match() -> str:
 
 
 QUERIES["mnn_match"] = (q_mnn_match, _sql_mnn_match())
+
+
+# ---------------------------------------------------------------------------
+# map_match — GPS trace → road association (coarse map matching)
+# ---------------------------------------------------------------------------
+# The trajectory counterpart of snap_points (geo4): each trace ping finds
+# its nearest way within MM_RADIUS_M (equirectangular-meter point-to-
+# polyline distance, same metric as the snap ladder), then a per-trace
+# majority vote picks the trace's matched way — the "which road was this
+# vehicle on" primitive that turns raw GPS corpora into per-road traffic
+# layers. Reference parity: extends conflator.py's point-to-way distance
+# (A1) from single features to trajectories; the reference has no
+# trajectory operators at all.
+#
+# Scale shape: candidates ride the cell join (ring-1 probe explode ×
+# covering-cells polyline explode — never all pairs); the per-candidate
+# refine is an array_min over the way's segments inside codegen (no
+# segment explode, no UDF); BOTH selection stages (per-ping argmin,
+# per-trace vote) are the engine's hash-agg top-k — ObjectHashAggregate
+# with map-side partials, no WindowExec, no SortExec. Everything shuffled
+# is a slim (pkey, way_id, d2) row; trace payloads never enter the join.
+# The DuckDB oracle brute-forces pings × ways — exact because the grid's
+# ring-1 guarantee covers the refine radius (for_radius(1.5 R) edge ≥
+# 1.5 R at 45°, and covering_cells samples at res/2, so every pair within
+# R shares a (ring-1 probe cell, covered cell) — the snap_points bound).
+M_PER_DEG = 111_320.0
+MM_RADIUS_M = 2_000.0           # coarse trace→road association radius
+MM_GRID = CellGrid.for_radius(MM_RADIUS_M * 1.5, max_abs_lat=45.0)
+MM_R2 = (MM_RADIUS_M / M_PER_DEG) ** 2   # threshold in scaled-degree²
+# equirect lon scale at the AOI center — x and y commensurate (geo4)
+from .geo4 import SNAP_LAT0_COS as _KX  # noqa: E402
+
+
+def _trace_pings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo5 import _dwell_trace_df
+
+    tr = _dwell_trace_df(spark, sf_dir)
+    return tr.select(
+        "trace_id", F.posexplode(F.arrays_zip("xs", "ys")).alias("i", "p")
+    ).select(
+        (F.col("trace_id") * F.lit(100) + F.col("i") + 1).alias("pkey"),
+        "trace_id",
+        F.col("p.xs").alias("lon"), F.col("p.ys").alias("lat"),
+    )
+
+
+def _way_min_d2(px, py, xs, ys):
+    """min over the way's segments of the squared point-to-segment distance
+    in equirect scaled degrees — array_min over a transform, pure codegen."""
+    kx = F.lit(_KX)
+    pxs, pys = px * kx, py
+
+    def seg_d2(k):
+        ax, ay = F.element_at(xs, k) * kx, F.element_at(ys, k)
+        bx = F.element_at(xs, k + 1) * kx
+        by = F.element_at(ys, k + 1)
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        t = F.when(seg2 == F.lit(0.0), F.lit(0.0)).otherwise(
+            F.least(
+                F.greatest(
+                    ((pxs - ax) * dx + (pys - ay) * dy) / seg2, F.lit(0.0)
+                ),
+                F.lit(1.0),
+            )
+        )
+        cx, cy = ax + t * dx, ay + t * dy
+        return (pxs - cx) * (pxs - cx) + (pys - cy) * (pys - cy)
+
+    return F.array_min(
+        F.transform(F.sequence(F.lit(1), F.size(xs) - 1), seg_d2)
+    )
+
+
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo5 import SP_N
+
+    pings = _trace_pings(spark, sf_dir)
+    ways = base.ways_df(spark, sf_dir).select("way_id", "xs", "ys")
+    cand = cell_join.candidate_pairs(
+        pings, ways, MM_GRID, p_key="pkey", s_key="way_id",
+        dedup_pairs=False,  # the per-ping argmin absorbs multi-cell dupes
+    )
+    scored = cand.withColumn(
+        "d2", _way_min_d2(F.col("lon"), F.col("lat"), F.col("xs"), F.col("ys"))
+    ).filter(F.col("d2") <= F.lit(MM_R2)).select(
+        "pkey", "trace_id", "way_id", "d2"
+    )
+    best = knn.top_k_agg(scored, "pkey", "d2", "way_id", k=1,
+                         const_cols=["trace_id"])
+    per_way = best.groupBy("trace_id", "way_id").agg(
+        F.count("*").alias("n_on_way")
+    )
+    vote = knn.top_k_agg(
+        per_way.withColumn("neg", -F.col("n_on_way")),
+        "trace_id", "neg", "way_id", k=1, payload_cols=["n_on_way"],
+    )
+    return vote.select(
+        "trace_id", "way_id", F.col("n_on_way").cast("long").alias("n_on_way"),
+        F.floor(F.col("n_on_way") * F.lit(1_000_000) / F.lit(SP_N))
+        .cast("long").alias("share_e6"),
+    )
+
+
+def _sql_map_match() -> str:
+    from .geo5 import SP_N, dwell_trace_sql
+
+    kxs = geo.dlit(_KX)
+    px, py = f"(lon * {kxs})", "lat"
+    ax, ay = f"(xs[k] * {kxs})", "ys[k]"
+    bx, by = f"(xs[k + 1] * {kxs})", "ys[k + 1]"
+    dx, dy = f"({bx} - {ax})", f"({by} - {ay})"
+    seg2 = f"({dx} * {dx} + {dy} * {dy})"
+    t = (f"least(greatest((({px} - {ax}) * {dx} + ({py} - {ay}) * {dy})"
+         f" / {seg2}, {geo.dlit(0.0)}), {geo.dlit(1.0)})")
+    cx, cy = f"({ax} + {t} * {dx})", f"({ay} + {t} * {dy})"
+    d2 = (f"CASE WHEN {seg2} = {geo.dlit(0.0)}"
+          f" THEN ({px} - {ax}) * ({px} - {ax})"
+          f" + ({py} - {ay}) * ({py} - {ay})"
+          f" ELSE ({px} - {cx}) * ({px} - {cx})"
+          f" + ({py} - {cy}) * ({py} - {cy}) END")
+    return (
+        f"WITH tr AS ({dwell_trace_sql()}), "
+        f"p AS (SELECT trace_id, trace_id * 100 + i AS pkey,"
+        f" xs[i] AS lon, ys[i] AS lat FROM tr, range(1, {SP_N} + 1) r(i)), "
+        f"w AS (SELECT way_id, xs, ys FROM ({base.WAYS_SQL}) ww), "
+        f"cand AS (SELECT pkey, trace_id, way_id,"
+        f" list_min(list_transform(range(1, len(xs)), k -> {d2})) AS d2"
+        f" FROM p CROSS JOIN w), "
+        f"f AS (SELECT * FROM cand WHERE d2 <= {geo.dlit(MM_R2)}), "
+        f"best AS (SELECT pkey, trace_id, way_id FROM"
+        f" (SELECT *, row_number() OVER (PARTITION BY pkey"
+        f" ORDER BY d2, way_id) AS rn FROM f) t WHERE rn = 1), "
+        f"cnt AS (SELECT trace_id, way_id, count(*) AS n_on_way"
+        f" FROM best GROUP BY 1, 2) "
+        f"SELECT trace_id, way_id, CAST(n_on_way AS BIGINT) AS n_on_way,"
+        f" CAST(floor(n_on_way * 1000000 / {SP_N}) AS BIGINT) AS share_e6"
+        f" FROM (SELECT *, row_number() OVER (PARTITION BY trace_id"
+        f" ORDER BY n_on_way DESC, way_id) AS rn FROM cnt) t WHERE rn = 1"
+    )
+
+
+QUERIES["map_match"] = (q_map_match, _sql_map_match())
+
+
+# ---------------------------------------------------------------------------
+# co_dwell — companion detection: traces dwelling together in space + time
+# ---------------------------------------------------------------------------
+# The trajectory-mining classic (co-location / companion discovery): two
+# traces co-dwell when they hold stay points within CD_RADIUS_M of each
+# other over overlapping ping spans. Composes stay_points (geo5) — the
+# corpus is already collapsed to |traces|·dwells rows before any pairing.
+#
+# Scale shape: pair candidates come from a cell equi-join on the stay-point
+# centroids (probe side ring-1-exploded, build side raw cell) — never a
+# self cross join; per-cell density is bounded by geometry (a dwell cell
+# holds the people PHYSICALLY at that spot), so the join has no quadratic
+# tail. The exact refine (equirect d², span overlap, a<b dedup) runs on
+# slim (trace_id, span, cx6, cy6) rows. Centroids are the 1e-6-rounded
+# stay-point outputs, so all pair arithmetic is IEEE-identical in DuckDB.
+CD_RADIUS_M = 500.0
+CD_GRID = CellGrid.for_radius(CD_RADIUS_M * 1.5, max_abs_lat=45.0)
+CD_R2 = (CD_RADIUS_M / M_PER_DEG) ** 2
+
+
+def q_co_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo5 import q_stay_points
+
+    sp = q_stay_points(spark, sf_dir).select(
+        "trace_id", "i_start", "i_end", "cx6", "cy6",
+        CD_GRID.encode(F.col("cx6"), F.col("cy6")).alias("cell"),
+    )
+    a = sp.select(
+        F.col("trace_id").alias("ta"), F.col("i_start").alias("sa"),
+        F.col("i_end").alias("ea"), F.col("cx6").alias("xa"),
+        F.col("cy6").alias("ya"),
+        F.explode(CD_GRID.ring1(F.col("cell"))).alias("jcell"),
+    )
+    b = sp.select(
+        F.col("trace_id").alias("tb"), F.col("i_start").alias("sb"),
+        F.col("i_end").alias("eb"), F.col("cx6").alias("xb"),
+        F.col("cy6").alias("yb"), F.col("cell").alias("jcell"),
+    )
+    kx = F.lit(_KX)
+    ddx = (F.col("xa") - F.col("xb")) * kx
+    ddy = F.col("ya") - F.col("yb")
+    pairs = (
+        a.join(b, "jcell")
+        .filter(F.col("ta") < F.col("tb"))
+        .filter(F.col("sa") <= F.col("eb"))
+        .filter(F.col("sb") <= F.col("ea"))
+        .filter(ddx * ddx + ddy * ddy <= F.lit(CD_R2))
+    )
+    return pairs.groupBy(
+        F.col("ta").alias("trace_a"), F.col("tb").alias("trace_b")
+    ).agg(F.count("*").alias("n_codwells"))
+
+
+def _sql_co_dwell() -> str:
+    from .geo5 import _sql_stay_points
+
+    kxs = geo.dlit(_KX)
+    d2 = (f"((a.cx6 - b.cx6) * {kxs}) * ((a.cx6 - b.cx6) * {kxs})"
+          f" + (a.cy6 - b.cy6) * (a.cy6 - b.cy6)")
+    return (
+        f"WITH sp AS ({_sql_stay_points()}) "
+        f"SELECT a.trace_id AS trace_a, b.trace_id AS trace_b,"
+        f" count(*) AS n_codwells"
+        f" FROM sp a JOIN sp b ON a.trace_id < b.trace_id"
+        f" AND a.i_start <= b.i_end AND b.i_start <= a.i_end"
+        f" AND {d2} <= {geo.dlit(CD_R2)}"
+        f" GROUP BY 1, 2"
+    )
+
+
+QUERIES["co_dwell"] = (q_co_dwell, _sql_co_dwell())
+
+
+# ---------------------------------------------------------------------------
+# trace_bearing — compass-rose histogram over trajectory steps
+# ---------------------------------------------------------------------------
+# Heading distribution of a GPS corpus (flow-direction analytics; also the
+# bearing gate conflation uses to reject a candidate road crossing the
+# trace sideways). The 8-bin compass comes from CASE comparisons against
+# tan(22.5°) on the equirect step vector — NO atan2: transcendental
+# functions are not bit-identical across engines, but sign tests and
+# multiply-compares are, so the binning is exactly reproducible in the
+# DuckDB oracle. Steps within a dwell phase are jitter-sized random
+# directions; commute steps are ENE-ish constants — the histogram shows
+# both populations.
+#
+# Scale shape: one posexplode (trace → 23 steps) and one 8-key hash agg;
+# the shuffle carries 8 rows per map task.
+_T1 = 0.41421356237309503  # tan(22.5°)
+
+
+def _bearing_bin(dx, dy):
+    t1 = F.lit(_T1)
+    adx, ady = F.abs(dx), F.abs(dy)
+    return (
+        F.when((dx >= 0) & (dy > 0),
+               F.when(adx <= dy * t1, F.lit("N"))
+               .when(dy <= adx * t1, F.lit("E"))
+               .otherwise(F.lit("NE")))
+        .when((dx > 0) & (dy <= 0),
+              F.when(ady <= dx * t1, F.lit("E"))
+              .when(dx <= ady * t1, F.lit("S"))
+              .otherwise(F.lit("SE")))
+        .when((dx <= 0) & (dy < 0),
+              F.when(adx <= ady * t1, F.lit("S"))
+              .when(ady <= adx * t1, F.lit("W"))
+              .otherwise(F.lit("SW")))
+        .otherwise(
+            F.when(ady <= adx * t1, F.lit("W"))
+            .when(adx <= ady * t1, F.lit("N"))
+            .otherwise(F.lit("NW")))
+    )
+
+
+def q_trace_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo5 import SP_N, _dwell_trace_df
+
+    tr = _dwell_trace_df(spark, sf_dir)
+    steps = tr.select(
+        "trace_id",
+        F.explode(F.sequence(F.lit(2), F.lit(SP_N))).alias("i"),
+        "xs", "ys",
+    ).select(
+        "trace_id",
+        ((F.element_at("xs", F.col("i"))
+          - F.element_at("xs", F.col("i") - 1)) * F.lit(_KX)).alias("dx"),
+        (F.element_at("ys", F.col("i"))
+         - F.element_at("ys", F.col("i") - 1)).alias("dy"),
+    )
+    return steps.select(
+        _bearing_bin(F.col("dx"), F.col("dy")).alias("bearing"), "trace_id"
+    ).groupBy("bearing").agg(
+        F.count("*").alias("n_steps"),
+        F.countDistinct("trace_id").alias("n_traces"),
+    )
+
+
+def _sql_trace_bearing() -> str:
+    from .geo5 import SP_N, dwell_trace_sql
+
+    t1 = geo.dlit(_T1)
+    dx = f"((xs[i] - xs[i - 1]) * {geo.dlit(_KX)})"
+    dy = "(ys[i] - ys[i - 1])"
+    bin_sql = (
+        f"CASE WHEN {dx} >= 0 AND {dy} > 0 THEN"
+        f" (CASE WHEN abs({dx}) <= {dy} * {t1} THEN 'N'"
+        f" WHEN {dy} <= abs({dx}) * {t1} THEN 'E' ELSE 'NE' END)"
+        f" WHEN {dx} > 0 AND {dy} <= 0 THEN"
+        f" (CASE WHEN abs({dy}) <= {dx} * {t1} THEN 'E'"
+        f" WHEN {dx} <= abs({dy}) * {t1} THEN 'S' ELSE 'SE' END)"
+        f" WHEN {dx} <= 0 AND {dy} < 0 THEN"
+        f" (CASE WHEN abs({dx}) <= abs({dy}) * {t1} THEN 'S'"
+        f" WHEN abs({dy}) <= abs({dx}) * {t1} THEN 'W' ELSE 'SW' END)"
+        f" ELSE (CASE WHEN abs({dy}) <= abs({dx}) * {t1} THEN 'W'"
+        f" WHEN abs({dx}) <= abs({dy}) * {t1} THEN 'N' ELSE 'NW' END) END"
+    )
+    return (
+        f"WITH tr AS ({dwell_trace_sql()}), "
+        f"st AS (SELECT trace_id, {bin_sql} AS bearing"
+        f" FROM tr, range(2, {SP_N} + 1) r(i)) "
+        f"SELECT bearing, count(*) AS n_steps,"
+        f" count(DISTINCT trace_id) AS n_traces FROM st GROUP BY bearing"
+    )
+
+
+QUERIES["trace_bearing"] = (q_trace_bearing, _sql_trace_bearing())
