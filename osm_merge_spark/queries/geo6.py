@@ -461,3 +461,170 @@ def _sql_trace_bearing() -> str:
 
 
 QUERIES["trace_bearing"] = (q_trace_bearing, _sql_trace_bearing())
+
+
+# ---------------------------------------------------------------------------
+# tile_mosaic — per-tile best-image selection (mosaic assembly)
+# ---------------------------------------------------------------------------
+# The imagery-pipeline primitive the reference's per-tile task files imply
+# but never compute (tm-splitter.py writes the tiles; a human picks the
+# imagery): for every 2 km EPSG:3857 tile with coverage, choose the single
+# best image by a deterministic quality score — the "one chip per tile"
+# reduction that turns an overlapping capture corpus into a mosaic layer.
+# The score is a pure integer-hash uniform (base.u01(ikey, 21)) standing in
+# for a real sharpness/cloud metric; ties break on ikey so the choice is
+# total-ordered.
+#
+# Scale shape: tile assignment is floor arithmetic in codegen (no join);
+# the selection is ONE hash aggregation — min(struct(-q, ikey)) + count —
+# with map-side partial combine, so the shuffle carries one row per
+# (map task, tile). No Window, no SortExec, payload (image_id) is derived
+# from ikey after the cap. At 10^12 images the shuffle is bounded by
+# tiles × tasks, not by rows.
+from ..functions.cells import TileGrid
+
+MOSAIC_TG = TileGrid(tile_m=2_000.0)
+GAP_TG = TileGrid(tile_m=500.0)
+
+
+def q_tile_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir)
+    scored = img.select(
+        MOSAIC_TG.tile_id(F.col("lon"), F.col("lat")).alias("tile_id"),
+        "ikey",
+        (-base.u01(F.col("ikey"), 21)).alias("qneg"),
+    )
+    # min(struct(...)) would put a struct in the aggregation buffer and
+    # fall back to SortAggregate (full re-sort of the scored table — the
+    # exact regression knn.top_k_agg exists to avoid). collect_list +
+    # array_sort + slice keeps the whole thing ONE ObjectHashAggregate
+    # with map-side partials; count(*) rides the same buffer.
+    best = scored.groupBy("tile_id").agg(
+        F.count("*").alias("n_images"),
+        F.element_at(
+            F.slice(F.array_sort(F.collect_list(F.struct("qneg", "ikey"))), 1, 1),
+            1,
+        ).alias("b"),
+    )
+    return best.select(
+        "tile_id",
+        F.concat(F.lit("img-"), F.col("b.ikey").cast("string")).alias("image_id"),
+        "n_images",
+        F.floor(-F.col("b.qneg") * F.lit(1_000_000)).cast("long").alias("q_e6"),
+    )
+
+
+def _sql_tile_mosaic() -> str:
+    q = base.u01_sql("ikey", 21)
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"s AS (SELECT {MOSAIC_TG.tile_id_sql('lon', 'lat')} AS tile_id,"
+        f" ikey, {q} AS q FROM img), "
+        f"r AS (SELECT tile_id, ikey, q,"
+        f" count(*) OVER (PARTITION BY tile_id) AS n_images,"
+        f" row_number() OVER (PARTITION BY tile_id ORDER BY q DESC, ikey)"
+        f" AS rn FROM s) "
+        f"SELECT tile_id, 'img-' || CAST(ikey AS VARCHAR) AS image_id,"
+        f" n_images, CAST(floor(q * 1000000) AS BIGINT) AS q_e6"
+        f" FROM r WHERE rn = 1"
+    )
+
+
+QUERIES["tile_mosaic"] = (q_tile_mosaic, _sql_tile_mosaic())
+
+
+# ---------------------------------------------------------------------------
+# tile_gaps — coverage-hole detection over the capture grid
+# ---------------------------------------------------------------------------
+# The complement of tile_mosaic: which 500 m tiles of the AOI bbox hold NO
+# image at all, and is each hole interior (all-covered neighborhood → a
+# genuine sensor gap worth re-tasking) or part of a larger uncovered region?
+# n_cov_neighbors counts the covered tiles among the hole's 8 neighbors.
+#
+# Scale shape: the tile grid is GEOMETRY-bounded (bbox/tile², independent of
+# corpus size), so both the anti-join's build side and the neighbor probe
+# are broadcastable by construction — the corpus is touched exactly once,
+# by the distinct-tile aggregation (map-side combine shrinks it to one row
+# per tile per task before the shuffle). The 8-neighbor count is an explode
+# of the (small) gap set joined against the (small) covered set.
+def q_tile_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tiles import generate_tiles
+
+    img = base.images_df(spark, sf_dir)
+    covered = (
+        img.select(
+            GAP_TG.tile_x(F.col("lon")).alias("tx"),
+            GAP_TG.tile_y(F.col("lat")).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n"))
+        .select("tx", "ty")
+    )
+    tiles = generate_tiles(
+        spark, base.LON_MIN, base.LAT_MIN, base.LON_MAX, base.LAT_MAX, GAP_TG
+    ).select("tile_id", "tx", "ty")
+    gaps = tiles.join(F.broadcast(covered), ["tx", "ty"], "left_anti")
+    off = spark.range(-1, 2).withColumnRenamed("id", "dx").crossJoin(
+        spark.range(-1, 2).withColumnRenamed("id", "dy")
+    ).filter((F.col("dx") != 0) | (F.col("dy") != 0))
+    probes = gaps.crossJoin(F.broadcast(off)).select(
+        "tile_id", "tx", "ty",
+        (F.col("tx") + F.col("dx")).alias("nx"),
+        (F.col("ty") + F.col("dy")).alias("ny"),
+    )
+    ncov = (
+        probes.join(
+            F.broadcast(covered.select(F.col("tx").alias("nx"),
+                                       F.col("ty").alias("ny"))),
+            ["nx", "ny"], "inner",
+        )
+        .groupBy("tile_id")
+        .agg(F.count("*").alias("n_cov_neighbors"))
+    )
+    return (
+        gaps.join(F.broadcast(ncov), "tile_id", "left")
+        .select(
+            "tile_id", "tx", "ty",
+            F.coalesce("n_cov_neighbors", F.lit(0)).cast("long")
+            .alias("n_cov_neighbors"),
+        )
+    )
+
+
+def _sql_tile_gaps() -> str:
+    import math
+
+    R = geo.WEB_MERCATOR_R
+    mx0 = R * math.radians(base.LON_MIN)
+    mx1 = R * math.radians(base.LON_MAX)
+    my0 = R * math.log(math.tan(math.pi / 4 + math.radians(base.LAT_MIN) / 2))
+    my1 = R * math.log(math.tan(math.pi / 4 + math.radians(base.LAT_MAX) / 2))
+    tx0, tx1 = math.floor(mx0 / GAP_TG.tile_m), math.floor(mx1 / GAP_TG.tile_m)
+    ty0, ty1 = math.floor(my0 / GAP_TG.tile_m), math.floor(my1 / GAP_TG.tile_m)
+    size = geo.dlit(GAP_TG.tile_m)
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"cov AS (SELECT DISTINCT"
+        f" floor(({geo.mercator_x_sql('lon')}) / {size}) AS tx,"
+        f" floor(({geo.mercator_y_sql('lat')}) / {size}) AS ty FROM img), "
+        f"tiles AS (SELECT CAST(ty * {GAP_TG.nx} + tx AS BIGINT) AS tile_id,"
+        f" tx, ty"
+        f" FROM (SELECT unnest(range({tx0}, {tx1 + 1})) AS tx) a"
+        f" CROSS JOIN (SELECT unnest(range({ty0}, {ty1 + 1})) AS ty) b), "
+        f"gaps AS (SELECT * FROM tiles t WHERE NOT EXISTS"
+        f" (SELECT 1 FROM cov c WHERE c.tx = t.tx AND c.ty = t.ty)), "
+        f"offs AS (SELECT dx, dy FROM"
+        f" (SELECT unnest(range(-1, 2)) AS dx) a"
+        f" CROSS JOIN (SELECT unnest(range(-1, 2)) AS dy) b"
+        f" WHERE dx <> 0 OR dy <> 0), "
+        f"nc AS (SELECT g.tile_id, count(*) AS n_cov_neighbors"
+        f" FROM gaps g CROSS JOIN offs o"
+        f" JOIN cov c ON c.tx = g.tx + o.dx AND c.ty = g.ty + o.dy"
+        f" GROUP BY g.tile_id) "
+        f"SELECT g.tile_id, g.tx, g.ty,"
+        f" CAST(coalesce(nc.n_cov_neighbors, 0) AS BIGINT) AS n_cov_neighbors"
+        f" FROM gaps g LEFT JOIN nc ON g.tile_id = nc.tile_id"
+    )
+
+
+QUERIES["tile_gaps"] = (q_tile_gaps, _sql_tile_gaps())

@@ -143,3 +143,71 @@ def test_pyramid_levels_conserve_mass(spark, sf_dir):
     for lvl in range(1, PYR_LEVELS + 1):
         assert (by_level[lvl]["n"], by_level[lvl]["r"]) == (base["n"], base["r"])
         assert by_level[lvl]["tiles"] <= by_level[lvl - 1]["tiles"]
+
+
+def test_tile_mosaic_plan_one_hash_agg_no_window(spark, sf_dir):
+    """tile_mosaic's selection is a single hash aggregation: no Window, no
+    SortExec, no join anywhere — tile assignment is floor arithmetic."""
+    from osm_merge_spark.queries.geo6 import q_tile_mosaic
+
+    plan = q_tile_mosaic(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    # min(struct) would silently fall back to SortAggregate (a full
+    # re-sort of the scored table); the collect_list formulation must
+    # stay an ObjectHashAggregate with no Sort node anywhere
+    assert "SortAggregate" not in plan and "Sort " not in plan
+    assert "ObjectHashAggregate" in plan
+
+
+def test_tile_gaps_joins_are_broadcast_only(spark, sf_dir):
+    """tile_gaps' grid is geometry-bounded, so every join (anti, neighbor
+    probe, final left) must be broadcast — the corpus is touched once by
+    the distinct-tile aggregation."""
+    from osm_merge_spark.queries.geo6 import q_tile_gaps
+
+    plan = q_tile_gaps(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tile_gaps_holes_are_really_empty(spark, sf_dir):
+    """Every reported gap tile holds zero images, and a sampled covered
+    tile is never reported."""
+    from osm_merge_spark.queries import base
+    from osm_merge_spark.queries.geo6 import GAP_TG, q_tile_gaps
+
+    gaps = {r.tile_id for r in q_tile_gaps(spark, sf_dir).collect()}
+    img = base.images_df(spark, sf_dir).select(
+        GAP_TG.tile_id(F.col("lon"), F.col("lat")).alias("tile_id")
+    )
+    covered = {r.tile_id for r in img.distinct().collect()}
+    assert not (gaps & covered)
+
+
+def test_tile_mosaic_winner_has_max_score(spark, sf_dir):
+    """The mosaic pick per tile is the max-quality image (tie: min ikey)."""
+    from osm_merge_spark.queries import base
+    from osm_merge_spark.queries.geo6 import MOSAIC_TG, q_tile_mosaic
+
+    out = {r.tile_id: (r.image_id, r.n_images)
+           for r in q_tile_mosaic(spark, sf_dir).collect()}
+    img = base.images_df(spark, sf_dir).select(
+        MOSAIC_TG.tile_id(F.col("lon"), F.col("lat")).alias("tile_id"),
+        "ikey",
+        base.u01(F.col("ikey"), 21).alias("q"),
+    ).collect()
+    import collections
+    best: dict = {}
+    cnt: collections.Counter = collections.Counter()
+    for r in img:
+        cnt[r.tile_id] += 1
+        k = (-r.q, r.ikey)
+        if r.tile_id not in best or k < best[r.tile_id][0]:
+            best[r.tile_id] = (k, r.ikey)
+    assert len(out) == len(best)
+    for t, (_, ik) in best.items():
+        assert out[t] == (f"img-{ik}", cnt[t])
