@@ -374,3 +374,38 @@ def zonal_image_rollup(images_stream: DataFrame) -> DataFrame:
         F.sum("sg").alias("sum_g"),
         F.sum("sb").alias("sum_b"),
     )
+
+
+def tile_mosaic_stream(images_stream: DataFrame) -> DataFrame:
+    """Streaming twin of queries/geo6.q_tile_mosaic: the running best image
+    per 2 km tile, maintained incrementally at ingest — "the mosaic so far"
+    while a capture campaign is still landing.
+
+    The batch query keeps its selection an ObjectHashAggregate via
+    collect_list + array_sort + slice; streamed, that buffer would
+    ACCUMULATE every image ever seen per tile in the state store —
+    unbounded state. min(struct(qneg, ikey)) is the streaming-correct
+    formulation: one struct + one count per tile (state bounded by the
+    geometry-bounded tile grid, like zonal_image_rollup's |zones| rows),
+    and min is trivially mergeable across micro-batches. The within-batch
+    SortAggregate fallback min(struct) costs is micro-batch-sized — the
+    opposite tradeoff from the batch path, deliberately.
+    """
+    from ..queries import base
+    from ..queries.geo6 import MOSAIC_TG
+
+    scored = images_stream.select(
+        MOSAIC_TG.tile_id(F.col("lon"), F.col("lat")).alias("tile_id"),
+        "ikey",
+        (-base.u01(F.col("ikey"), 21)).alias("qneg"),
+    )
+    best = scored.groupBy("tile_id").agg(
+        F.count("*").alias("n_images"),
+        F.min(F.struct("qneg", "ikey")).alias("b"),
+    )
+    return best.select(
+        "tile_id",
+        F.concat(F.lit("img-"), F.col("b.ikey").cast("string")).alias("image_id"),
+        "n_images",
+        F.floor(-F.col("b.qneg") * F.lit(1_000_000)).cast("long").alias("q_e6"),
+    )

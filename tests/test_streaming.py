@@ -296,3 +296,34 @@ def test_zonal_rollup_stream_equals_batch_query(spark, tmp_path):
         for r in q_zonal_stats(spark, "/root/testdata/sf0.001").collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_tile_mosaic_stream_equals_batch_query(spark, tmp_path):
+    """The running per-tile best across micro-batches must equal the batch
+    q_tile_mosaic rows exactly (winner, count, score) once the source
+    drains — and the state held is one (struct, count) per tile."""
+    from osm_merge_spark.queries import base
+    from osm_merge_spark.queries.geo6 import q_tile_mosaic
+
+    src = str(tmp_path / "mimg")
+    base.images_df(spark, "/root/testdata/sf0.001").select(
+        "image_id", "ikey", "lon", "lat"
+    ).repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)  # several micro-batches
+        .parquet(src)
+    )
+    got = {
+        r["tile_id"]: (r["image_id"], r["n_images"], r["q_e6"])
+        for r in jobs.run_available_now(
+            jobs.tile_mosaic_stream(stream), str(tmp_path / "ckm"),
+            query_name="mosaic",
+        ).collect()
+    }
+    want = {
+        r["tile_id"]: (r["image_id"], r["n_images"], r["q_e6"])
+        for r in q_tile_mosaic(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want and len(got) > 100
