@@ -628,3 +628,49 @@ def _sql_tile_gaps() -> str:
 
 
 QUERIES["tile_gaps"] = (q_tile_gaps, _sql_tile_gaps())
+
+
+# ---------------------------------------------------------------------------
+# way_junctions — road-network topology: node-degree histogram of the
+# way-refs graph
+# ---------------------------------------------------------------------------
+# The reference dereferences way refs one way at a time (conflator.py:
+# 690-726) and never looks at the graph those refs form — but junction
+# structure is what routing/validation actually needs: a node referenced
+# by k distinct ways is a k-way junction; degree-1 nodes are dead ends or
+# tile-cut artifacts. Same ways/nodes fixture as way_assemble (ways =
+# orders, node refs = deduped lineitem suppkeys).
+#
+# Scale shape: THREE chained hash aggregations, no joins anywhere —
+# (way,node) distinct pairs (map-side combine collapses duplicate refs),
+# per-node distinct-way degree, then the counts-of-counts histogram
+# (key_skew's doctrine: the histogram is bounded by max degree, not by
+# nodes, so the final shuffle carries a handful of rows per task).
+def q_way_junctions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min("l_suppkey").alias("node_id"))
+        .select(F.col("l_orderkey").alias("way_id"), "node_id")
+        .distinct()
+    )
+    deg = refs.groupBy("node_id").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_nodes")
+    )
+
+
+def _sql_way_junctions() -> str:
+    return (
+        "WITH refs AS (SELECT DISTINCT l_orderkey AS way_id, node_id FROM"
+        " (SELECT l_orderkey, l_linenumber, min(l_suppkey) AS node_id"
+        "  FROM lineitem GROUP BY 1, 2) t), "
+        "deg AS (SELECT node_id, count(*) AS degree FROM refs GROUP BY 1) "
+        "SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes"
+        " FROM deg GROUP BY 1"
+    )
+
+
+QUERIES["way_junctions"] = (q_way_junctions, _sql_way_junctions())
