@@ -674,3 +674,55 @@ def _sql_way_junctions() -> str:
 
 
 QUERIES["way_junctions"] = (q_way_junctions, _sql_way_junctions())
+
+
+# ---------------------------------------------------------------------------
+# tile_terms — geo-faceted caption term index (text × geo composition)
+# ---------------------------------------------------------------------------
+# The search-index shape behind "what is HERE": per 5 km tile, the top-3
+# caption terms by frequency — the facet table a map UI or a captioning-
+# quality audit reads. Composes the tokenizer the text queries share
+# (functions/text.words — identical SQL mirror) with the EPSG:3857 tile
+# key, so both the text and the geo half of the engine are exercised in
+# one plan.
+#
+# Scale shape: explode(words) fans captions out ~3×, then ONE hash agg to
+# (tile, term) counts (map-side combine absorbs the fan-out), and the
+# engine's hash-agg top-k caps per tile — no Window, no sort; shuffled
+# rows are slim (tile_id, term, tf).
+from ..functions import text as textfn
+from .geo import TILES as _FACET_TG
+
+TILE_TERMS_K = 3
+
+
+def q_tile_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir)
+    tok = img.select(
+        _FACET_TG.tile_id(F.col("lon"), F.col("lat")).alias("tile_id"),
+        F.explode(textfn.words(F.col("caption"))).alias("term"),
+    )
+    tf = tok.groupBy("tile_id", "term").agg(F.count("*").alias("tf"))
+    top = knn.top_k_agg(
+        tf.withColumn("neg_tf", -F.col("tf")),
+        "tile_id", dist_col="neg_tf", tie_col="term", k=TILE_TERMS_K,
+        payload_cols=["tf"],
+    )
+    return top.select("tile_id", "term", F.col("tf").cast("long").alias("tf"))
+
+
+def _sql_tile_terms() -> str:
+    ws = textfn.words_sql("caption")
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"tok AS (SELECT {_FACET_TG.tile_id_sql('lon', 'lat')} AS tile_id,"
+        f" unnest({ws}) AS term FROM img), "
+        f"tf AS (SELECT tile_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+        f"rk AS (SELECT tile_id, term, tf, row_number() OVER"
+        f" (PARTITION BY tile_id ORDER BY tf DESC, term ASC) AS r FROM tf) "
+        f"SELECT tile_id, term, CAST(tf AS BIGINT) AS tf FROM rk"
+        f" WHERE r <= {TILE_TERMS_K}"
+    )
+
+
+QUERIES["tile_terms"] = (q_tile_terms, _sql_tile_terms())
