@@ -726,3 +726,104 @@ def _sql_tile_terms() -> str:
 
 
 QUERIES["tile_terms"] = (q_tile_terms, _sql_tile_terms())
+
+
+# ---------------------------------------------------------------------------
+# moran_i — global spatial autocorrelation (Moran's I) of image density
+# ---------------------------------------------------------------------------
+# The spatial-statistics scalar every coverage audit wants: is capture
+# density CLUSTERED (hot spots — I > 0), dispersed (I < 0), or random
+# (I ≈ 0) over the cell raster? Queen-contiguity weights (8-neighbors,
+# present cells only — same sparse-raster contract as focal_stats).
+#
+# Exactness: with x̄ = T/N rational, multiplying deviations through by N
+# makes them integers — d_i = N·x_i − T — so the cross-product sum S·N²
+# = Σ w_ij d_i d_j, the variance sum V·N² = Σ d_i², the pair count W and
+# the cell count N are ALL int64-exact in both engines; only the final
+# headline ratio moran_e6 = floor(1e6·N·S/(W·V)) touches doubles, with
+# the identical expression order in both SQLs (the tfidf/score_e6
+# contract). |d| ≤ N·max(x), so d² ≤ (N·max x)² — int64-safe far beyond
+# this raster's range (overflow needs N·max(x) > 3e9).
+#
+# Scale shape: the corpus collapses to |cells| rows in the first map-side
+# agg; the deviation table is cells × 1 broadcast scalar; the pair join is
+# the focal-stats 8-offset explode joined back to the (tiny, geometry-
+# bounded) cell raster — broadcast by construction; three final one-row
+# aggregates.
+def q_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = TileGrid(tile_m=5_000.0)
+    img = base.images_df(spark, sf_dir)
+    counts = img.select(
+        grid.tile_x(F.col("lon")).alias("tx"),
+        grid.tile_y(F.col("lat")).alias("ty"),
+    ).groupBy("tx", "ty").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("t_sum"), F.count("*").alias("n_cells")
+    )
+    dev = counts.crossJoin(F.broadcast(tot)).select(
+        "tx", "ty", "n_cells", "t_sum",
+        (F.col("n_cells") * F.col("cnt") - F.col("t_sum")).alias("d"),
+    )
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    ])).alias("o")
+    probe = dev.select(off, "tx", "ty", "d").select(
+        (F.col("tx") + F.col("o.dx")).alias("tx"),
+        (F.col("ty") + F.col("o.dy")).alias("ty"),
+        F.col("d").alias("d_i"),
+    )
+    pairs = probe.join(
+        F.broadcast(dev.select("tx", "ty", F.col("d").alias("d_j"))),
+        ["tx", "ty"],
+    )
+    s = pairs.agg(
+        F.sum(F.col("d_i") * F.col("d_j")).alias("s_num"),
+        F.count("*").alias("w_pairs"),
+    )
+    v = dev.agg(
+        F.sum(F.col("d") * F.col("d")).alias("v_num"),
+        F.first("n_cells").alias("n_cells"),
+    )
+    out = s.crossJoin(F.broadcast(v))
+    return out.select(
+        "n_cells", "w_pairs", "s_num", "v_num",
+        F.floor(
+            F.col("n_cells").cast("double") * F.col("s_num").cast("double")
+            * F.lit(1.0e6)
+            / (F.col("w_pairs").cast("double") * F.col("v_num").cast("double"))
+        ).cast("long").alias("moran_e6"),
+    )
+
+
+def _sql_moran_i() -> str:
+    size = geo.dlit(5_000.0)
+    tx = f"CAST(floor(({geo.mercator_x_sql('lon')}) / {size}) AS BIGINT)"
+    ty = f"CAST(floor(({geo.mercator_y_sql('lat')}) / {size}) AS BIGINT)"
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"counts AS (SELECT {tx} AS tx, {ty} AS ty, count(*) AS cnt"
+        f" FROM img GROUP BY 1, 2), "
+        f"tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_sum,"
+        f" count(*) AS n_cells FROM counts), "
+        f"dev AS (SELECT tx, ty, n_cells, t_sum,"
+        f" n_cells * cnt - t_sum AS d FROM counts CROSS JOIN tot), "
+        f"probe AS (SELECT tx + dx AS tx, ty + dy AS ty, d AS d_i FROM dev,"
+        f" (SELECT unnest([-1, 0, 1]) AS dx) ox,"
+        f" (SELECT unnest([-1, 0, 1]) AS dy) oy"
+        f" WHERE NOT (dx = 0 AND dy = 0)), "
+        f"pairs AS (SELECT p.d_i, b.d AS d_j FROM probe p"
+        f" JOIN dev b USING (tx, ty)), "
+        f"s AS (SELECT CAST(sum(d_i * d_j) AS BIGINT) AS s_num,"
+        f" count(*) AS w_pairs FROM pairs), "
+        f"v AS (SELECT CAST(sum(d * d) AS BIGINT) AS v_num,"
+        f" min(n_cells) AS n_cells FROM dev) "
+        f"SELECT n_cells, w_pairs, s_num, v_num,"
+        f" CAST(floor(CAST(n_cells AS DOUBLE) * CAST(s_num AS DOUBLE) * 1.0e6"
+        f" / (CAST(w_pairs AS DOUBLE) * CAST(v_num AS DOUBLE))) AS BIGINT)"
+        f" AS moran_e6 FROM s CROSS JOIN v"
+    )
+
+
+QUERIES["moran_i"] = (q_moran_i, _sql_moran_i())
