@@ -827,3 +827,185 @@ def _sql_moran_i() -> str:
 
 
 QUERIES["moran_i"] = (q_moran_i, _sql_moran_i())
+
+
+# ---------------------------------------------------------------------------
+# hotspot_cells — local hot-spot detection (Getis-Ord-style excess) over the
+# capture raster
+# ---------------------------------------------------------------------------
+# Moran's I says WHETHER density clusters; this says WHERE: for each present
+# cell, the 3×3 neighborhood sum S_i (self included, Gi*-style) against its
+# random-placement expectation E_i = T·n_i/N (n_i = present cells in the
+# window). Cells whose neighborhood holds ≥ 2× expectation with material
+# mass (S_i ≥ 32) are the hot spots — the fixture's planted hot cluster
+# MUST surface here. excess_e6 = floor(1e6·(S_i·N − T·n_i)/(T·n_i)): the
+# numerator and denominator are int64-exact (same ×N trick as moran_i);
+# one double division at the end, identical expression order both engines.
+#
+# Scale shape: identical cost class to focal_stats — corpus → |cells| in
+# one map-side-combinable agg, the 9-offset explode and the re-join ride
+# cells, the T/N scalar broadcasts.
+HOTSPOT_TILE_M = 500.0   # fine raster: background ≈ units/cell, so the
+#   ~100 m-wide planted cluster dominates its window instead of diluting
+#   into a 5 km cell (at 5 km the cluster is <1× the background window)
+HOTSPOT_MIN_S = 32
+HOTSPOT_MIN_EXCESS_E6 = 1_000_000  # ≥ 2× expectation
+
+
+def q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = TileGrid(tile_m=HOTSPOT_TILE_M)
+    img = base.images_df(spark, sf_dir)
+    counts = img.select(
+        grid.tile_x(F.col("lon")).alias("tx"),
+        grid.tile_y(F.col("lat")).alias("ty"),
+    ).groupBy("tx", "ty").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("t_sum"), F.count("*").alias("n_cells")
+    )
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])).alias("o")
+    nb = counts.select(off, "tx", "ty", "cnt").select(
+        (F.col("tx") + F.col("o.dx")).alias("tx"),
+        (F.col("ty") + F.col("o.dy")).alias("ty"),
+        "cnt",
+    )
+    focal = nb.groupBy("tx", "ty").agg(
+        F.sum("cnt").alias("s_i"), F.count("*").alias("n_i")
+    )
+    # present cells only (sparse-raster contract), then the excess gate
+    cand = (
+        counts.join(focal.hint("shuffle_hash"), ["tx", "ty"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tx", "ty", "cnt", "s_i", "n_i",
+            F.floor(
+                (F.col("s_i") * F.col("n_cells")
+                 - F.col("t_sum") * F.col("n_i")).cast("double")
+                * F.lit(1.0e6)
+                / (F.col("t_sum") * F.col("n_i")).cast("double")
+            ).cast("long").alias("excess_e6"),
+        )
+    )
+    return cand.filter(
+        (F.col("s_i") >= F.lit(HOTSPOT_MIN_S))
+        & (F.col("excess_e6") >= F.lit(HOTSPOT_MIN_EXCESS_E6))
+    )
+
+
+def _sql_hotspot_cells() -> str:
+    size = geo.dlit(HOTSPOT_TILE_M)
+    tx = f"CAST(floor(({geo.mercator_x_sql('lon')}) / {size}) AS BIGINT)"
+    ty = f"CAST(floor(({geo.mercator_y_sql('lat')}) / {size}) AS BIGINT)"
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"counts AS (SELECT {tx} AS tx, {ty} AS ty, count(*) AS cnt"
+        f" FROM img GROUP BY 1, 2), "
+        f"tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_sum,"
+        f" count(*) AS n_cells FROM counts), "
+        f"nb AS (SELECT tx + dx AS tx, ty + dy AS ty, cnt FROM counts,"
+        f" (SELECT unnest([-1, 0, 1]) AS dx) ox,"
+        f" (SELECT unnest([-1, 0, 1]) AS dy) oy), "
+        f"focal AS (SELECT tx, ty, CAST(sum(cnt) AS BIGINT) AS s_i,"
+        f" count(*) AS n_i FROM nb GROUP BY 1, 2), "
+        f"cand AS (SELECT tx, ty, cnt, s_i, n_i,"
+        f" CAST(floor(CAST(s_i * n_cells - t_sum * n_i AS DOUBLE) * 1.0e6"
+        f" / CAST(t_sum * n_i AS DOUBLE)) AS BIGINT) AS excess_e6"
+        f" FROM counts JOIN focal USING (tx, ty) CROSS JOIN tot) "
+        f"SELECT * FROM cand WHERE s_i >= {HOTSPOT_MIN_S}"
+        f" AND excess_e6 >= {HOTSPOT_MIN_EXCESS_E6}"
+    )
+
+
+QUERIES["hotspot_cells"] = (q_hotspot_cells, _sql_hotspot_cells())
+
+
+# ---------------------------------------------------------------------------
+# coverage_corr — capture bias: Pearson correlation of image density vs
+# layer-feature density per cell
+# ---------------------------------------------------------------------------
+# The collection-QA scalar: are images being captured WHERE the map
+# features are (corr → 1), independently of them (→ 0), or avoiding them?
+# x = image count, y = layer-feature count per 5 km cell, over cells
+# holding either (absent-both cells are undefined under the sparse
+# contract and excluded — documented denominator choice, identical in the
+# oracle). All five sufficient statistics (N, Σx, Σy, Σxy, Σx², Σy²) are
+# int64-exact; corr_e6 = floor(1e6·(NΣxy−ΣxΣy)/(sqrt(NΣx²−(Σx)²)·
+# sqrt(NΣy²−(Σy)²))) — sqrt is IEEE correctly-rounded, so the one double
+# expression matches bit-for-bit across engines.
+#
+# Scale shape: two map-side-combinable cell aggregations (corpus and layer
+# each touched once), one full-outer equi-join of two geometry-bounded
+# cell tables, one single-row reduce.
+def q_coverage_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = TileGrid(tile_m=5_000.0)
+    img = base.images_df(spark, sf_dir)
+    lyr = base.layer_df(spark, sf_dir)
+    xc = img.select(
+        grid.tile_x(F.col("lon")).alias("tx"),
+        grid.tile_y(F.col("lat")).alias("ty"),
+    ).groupBy("tx", "ty").agg(F.count("*").alias("x"))
+    yc = lyr.select(
+        grid.tile_x(F.col("s_lon")).alias("tx"),
+        grid.tile_y(F.col("s_lat")).alias("ty"),
+    ).groupBy("tx", "ty").agg(F.count("*").alias("y"))
+    cells = (
+        xc.join(yc.hint("shuffle_hash"), ["tx", "ty"], "full_outer")
+        .select(
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    s = cells.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n_cells") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    dx = (F.col("n_cells") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    dy = (F.col("n_cells") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return s.select(
+        "n_cells", "sx", "sy", "sxy",
+        F.floor(
+            num.cast("double") * F.lit(1.0e6)
+            / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")))
+        ).cast("long").alias("corr_e6"),
+    )
+
+
+def _sql_coverage_corr() -> str:
+    size = geo.dlit(5_000.0)
+
+    def txy(lon, lat):
+        return (
+            f"CAST(floor(({geo.mercator_x_sql(lon)}) / {size}) AS BIGINT)",
+            f"CAST(floor(({geo.mercator_y_sql(lat)}) / {size}) AS BIGINT)",
+        )
+
+    ix, iy = txy("lon", "lat")
+    lx, ly = txy("s_lon", "s_lat")
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), lyr AS ({base.LAYER_SQL}), "
+        f"xc AS (SELECT {ix} AS tx, {iy} AS ty, count(*) AS x FROM img"
+        f" GROUP BY 1, 2), "
+        f"yc AS (SELECT {lx} AS tx, {ly} AS ty, count(*) AS y FROM lyr"
+        f" GROUP BY 1, 2), "
+        f"cells AS (SELECT coalesce(x, 0) AS x, coalesce(y, 0) AS y"
+        f" FROM xc FULL OUTER JOIN yc USING (tx, ty)), "
+        f"s AS (SELECT count(*) AS n_cells,"
+        f" CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,"
+        f" CAST(sum(x * y) AS BIGINT) AS sxy,"
+        f" CAST(sum(x * x) AS BIGINT) AS sxx,"
+        f" CAST(sum(y * y) AS BIGINT) AS syy FROM cells) "
+        f"SELECT n_cells, sx, sy, sxy,"
+        f" CAST(floor(CAST(n_cells * sxy - sx * sy AS DOUBLE) * 1.0e6"
+        f" / (sqrt(CAST(n_cells * sxx - sx * sx AS DOUBLE))"
+        f" * sqrt(CAST(n_cells * syy - sy * sy AS DOUBLE)))) AS BIGINT)"
+        f" AS corr_e6 FROM s"
+    )
+
+
+QUERIES["coverage_corr"] = (q_coverage_corr, _sql_coverage_corr())

@@ -211,3 +211,29 @@ def test_tile_mosaic_winner_has_max_score(spark, sf_dir):
     assert len(out) == len(best)
     for t, (_, ik) in best.items():
         assert out[t] == (f"img-{ik}", cnt[t])
+
+
+def test_hotspot_cells_surface_the_planted_cluster(spark, sf_dir):
+    """The fixture plants a ~100 m-wide hot cluster at (HOT_LON, HOT_LAT);
+    hotspot_cells must report that cell, and every reported cell must sit
+    within one window of it OR hold genuinely >=2x-expectation mass."""
+    import math
+
+    from osm_merge_spark.functions import geo
+    from osm_merge_spark.queries import base
+    from osm_merge_spark.queries.geo6 import (
+        HOTSPOT_MIN_EXCESS_E6, HOTSPOT_TILE_M, q_hotspot_cells,
+    )
+
+    R = geo.WEB_MERCATOR_R
+    hx = math.floor(R * math.radians(base.HOT_LON) / HOTSPOT_TILE_M)
+    hy = math.floor(
+        R * math.log(math.tan(math.pi / 4 + math.radians(base.HOT_LAT) / 2))
+        / HOTSPOT_TILE_M
+    )
+    rows = q_hotspot_cells(spark, sf_dir).collect()
+    assert rows, "hotspot gate fired nowhere — planted cluster missed"
+    cells = {(r.tx, r.ty) for r in rows}
+    assert (hx, hy) in cells
+    for r in rows:
+        assert r.excess_e6 >= HOTSPOT_MIN_EXCESS_E6
