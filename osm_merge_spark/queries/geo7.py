@@ -1,0 +1,190 @@
+"""Inter-way segment crossings — the OSM QA / conflation-validation query:
+pairs of ways whose segments geometrically intersect without sharing a
+node (a road crossing a road with no junction = a topology error; a new
+way crossing the existing layer = a conflation red flag).
+
+Reference scope: the reference validates conflation candidates by DISTANCE
+only (conflator.py:357,766-788) and never checks the crossing topology of
+the merged layer — but its own output (highway ways merged into an existing
+road layer) is exactly where un-noded crossings appear. This query closes
+that gap Spark-first.
+
+Scale shape (the 100 TB story):
+  - each segment registers the grid cells its LINE passes through
+    (half-cell-spaced densification, same guarantee as
+    operators/cell_join.covering_cells) — fan-out is length/res per way,
+    never quadratic;
+  - the A side expands ring-1 so two lines crossing near a cell corner
+    still meet in one key (candidate superset; exactness from the refine);
+  - ONE cell equi-join (shuffled-hash, way_a < way_b halves the pair
+    space), hash-agg DISTINCT collapses multi-cell re-meets of the same
+    segment pair;
+  - exact orientation-test refine (4 cross products, strict signs — proper
+    crossings only, shared endpoints / touches excluded) runs in
+    whole-stage codegen; the intersection point itself is computed only on
+    the rows that survive.
+No UDFs, no cartesian, no broadcast of a corpus-scale side; hot cells fall
+under the engine's standard salting/AQE-skew doctrine (cell_join.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import geo
+from ..functions.cells import CellGrid
+from . import base
+
+QUERIES: dict = {}
+
+# Cell edge chosen ~5.5 km: way segments in the fixture span 0.01°–1.1°,
+# so fan-out stays ≤ ~25 cells for the longest segment while dense cells
+# keep candidate lists short. At planet scale the same grid bounds fan-out
+# by segment length (OSM ways are chopped well below 5 km between nodes).
+WC_GRID = CellGrid(res_deg=0.05)
+_WC_RES2 = WC_GRID.res_deg / 2.0
+
+
+def _wc_segcells(ways: DataFrame) -> DataFrame:
+    """(way_id, k, ax, ay, bx, by, cell) — one row per DISTINCT cell the
+    segment's half-cell-spaced sample train lands in. Expression forms
+    mirror _sql_way_crossings exactly (a+(b-a)*(j/n), not a*(1-t)+b*t) —
+    algebraically equal forms differ at the ulp and flip floor() cells."""
+    seg = ways.select(
+        "way_id",
+        F.explode(F.sequence(F.lit(1), F.size("xs") - 1)).alias("k"),
+        "xs", "ys",
+    ).select(
+        "way_id",
+        F.col("k").cast("int").alias("k"),
+        F.element_at("xs", F.col("k")).alias("ax"),
+        F.element_at("ys", F.col("k")).alias("ay"),
+        F.element_at("xs", F.col("k") + 1).alias("bx"),
+        F.element_at("ys", F.col("k") + 1).alias("by"),
+    )
+    span = F.greatest(
+        F.abs(F.col("bx") - F.col("ax")), F.abs(F.col("by") - F.col("ay"))
+    )
+    seg = seg.withColumn(
+        "nsteps",
+        F.greatest(F.ceil(span / F.lit(_WC_RES2)), F.lit(1)).cast("int"),
+    )
+    j = F.col("j").cast("double") / F.col("nsteps").cast("double")
+    sx = F.col("ax") + (F.col("bx") - F.col("ax")) * j
+    sy = F.col("ay") + (F.col("by") - F.col("ay")) * j
+    return (
+        seg.select(
+            "way_id", "k", "ax", "ay", "bx", "by", "nsteps",
+            F.explode(F.sequence(F.lit(0), F.col("nsteps"))).alias("j"),
+        )
+        .select(
+            "way_id", "k", "ax", "ay", "bx", "by",
+            WC_GRID.encode(sx, sy).alias("cell"),
+        )
+        .distinct()
+    )
+
+
+def way_crossings(ways: DataFrame) -> DataFrame:
+    """Proper inter-way segment crossings of a (way_id, xs, ys) table."""
+    cells = _wc_segcells(ways)
+    aring = (
+        cells.select(
+            F.col("way_id").alias("way_a"), F.col("k").alias("ka"),
+            "ax", "ay", "bx", "by",
+            F.explode(WC_GRID.ring1(F.col("cell"))).alias("cell"),
+        )
+        .distinct()
+    )
+    bside = cells.select(
+        F.col("way_id").alias("way_b"), F.col("k").alias("kb"),
+        F.col("ax").alias("cx"), F.col("ay").alias("cy"),
+        F.col("bx").alias("ex"), F.col("by").alias("ey"),
+        "cell",
+    )
+    pairs = (
+        aring.join(
+            bside.hint("shuffle_hash"),
+            on=(aring.cell == bside.cell)
+            & (F.col("way_a") < F.col("way_b")),
+        )
+        .drop("cell")
+        .dropDuplicates(["way_a", "ka", "way_b", "kb"])
+    )
+    ax, ay = F.col("ax"), F.col("ay")
+    bx, by = F.col("bx"), F.col("by")
+    cx, cy = F.col("cx"), F.col("cy")
+    ex, ey = F.col("ex"), F.col("ey")
+    d1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    d2 = (bx - ax) * (ey - ay) - (by - ay) * (ex - ax)
+    d3 = (ex - cx) * (ay - cy) - (ey - cy) * (ax - cx)
+    d4 = (ex - cx) * (by - cy) - (ey - cy) * (bx - cx)
+    hit = pairs.where((d1 * d2 < F.lit(0.0)) & (d3 * d4 < F.lit(0.0)))
+    # proper crossing ⇒ segments not parallel ⇒ the denominator below ≠ 0
+    t = ((cx - ax) * (ey - cy) - (cy - ay) * (ex - cx)) / (
+        (bx - ax) * (ey - cy) - (by - ay) * (ex - cx)
+    )
+    ix = ax + t * (bx - ax)
+    iy = ay + t * (by - ay)
+    return hit.select(
+        "way_a",
+        F.col("ka").alias("seg_a"),
+        "way_b",
+        F.col("kb").alias("seg_b"),
+        F.floor(ix * F.lit(1000000.0)).cast("long").alias("ix_e6"),
+        F.floor(iy * F.lit(1000000.0)).cast("long").alias("iy_e6"),
+    )
+
+
+def q_way_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return way_crossings(base.ways_df(spark, sf_dir))
+
+
+def _sql_way_crossings() -> str:
+    res2 = geo.dlit(_WC_RES2)
+    jfrac = "(CAST(j AS DOUBLE) / CAST(nsteps AS DOUBLE))"
+    sx = f"(ax + (bx - ax) * {jfrac})"
+    sy = f"(ay + (by - ay) * {jfrac})"
+    offs = ", ".join(str(o) for o in WC_GRID.ring1_sql_values())
+    return (
+        f"WITH ways AS ({base.WAYS_SQL}), "
+        "segs AS (SELECT way_id, xs, ys, unnest(range(1, len(xs))) AS k"
+        " FROM ways), "
+        "geom AS (SELECT way_id, CAST(k AS INT) AS k,"
+        " xs[k] AS ax, ys[k] AS ay, xs[k + 1] AS bx, ys[k + 1] AS by"
+        " FROM segs), "
+        "steps AS (SELECT *, CAST(greatest(CAST(ceil("
+        f"greatest(abs(bx - ax), abs(by - ay)) / {res2}) AS BIGINT), 1)"
+        " AS INT) AS nsteps FROM geom), "
+        "samp AS (SELECT way_id, k, ax, ay, bx, by, nsteps,"
+        " unnest(range(0, CAST(nsteps AS BIGINT) + 1)) AS j FROM steps), "
+        "segcells AS (SELECT DISTINCT way_id, k, ax, ay, bx, by,"
+        f" {WC_GRID.encode_sql(sx, sy)} AS cell FROM samp), "
+        f"offs AS (SELECT unnest([{offs}]) AS o), "
+        "aring AS (SELECT DISTINCT way_id AS way_a, k AS ka,"
+        " ax, ay, bx, by, cell + o AS cell FROM segcells CROSS JOIN offs), "
+        "pairs AS (SELECT DISTINCT a.way_a, a.ka, a.ax, a.ay, a.bx, a.by,"
+        " b.way_id AS way_b, b.k AS kb, b.ax AS cx, b.ay AS cy,"
+        " b.bx AS ex, b.by AS ey"
+        " FROM aring a JOIN segcells b ON a.cell = b.cell"
+        " AND a.way_a < b.way_id), "
+        "hit AS (SELECT * FROM ("
+        " SELECT *,"
+        " ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax)) AS d1,"
+        " ((bx - ax) * (ey - ay) - (by - ay) * (ex - ax)) AS d2,"
+        " ((ex - cx) * (ay - cy) - (ey - cy) * (ax - cx)) AS d3,"
+        " ((ex - cx) * (by - cy) - (ey - cy) * (bx - cx)) AS d4"
+        " FROM pairs) t WHERE d1 * d2 < 0 AND d3 * d4 < 0) "
+        "SELECT way_a, ka AS seg_a, way_b, kb AS seg_b,"
+        " CAST(floor((ax + (((cx - ax) * (ey - cy) - (cy - ay) * (ex - cx))"
+        " / ((bx - ax) * (ey - cy) - (by - ay) * (ex - cx))) * (bx - ax))"
+        " * 1000000.0) AS BIGINT) AS ix_e6,"
+        " CAST(floor((ay + (((cx - ax) * (ey - cy) - (cy - ay) * (ex - cx))"
+        " / ((bx - ax) * (ey - cy) - (by - ay) * (ex - cx))) * (by - ay))"
+        " * 1000000.0) AS BIGINT) AS iy_e6"
+        " FROM hit"
+    )
+
+
+QUERIES["way_crossings"] = (q_way_crossings, _sql_way_crossings())
