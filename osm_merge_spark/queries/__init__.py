@@ -13,11 +13,11 @@ from __future__ import annotations
 def registry():
     from . import (
         etl, etl2, etl3, etl4, geo, geo2, geo3, geo4, geo5, geo6, geo7,
-        relational, text, text2, vectors, zlayout,
+        graph, relational, text, text2, vectors, zlayout,
     )
 
     out = {}
-    for mod in (geo, geo2, geo3, geo4, geo5, geo6, geo7, etl, etl2, etl3,
-                etl4, relational, text, text2, vectors, zlayout):
+    for mod in (geo, geo2, geo3, geo4, geo5, geo6, geo7, graph, etl, etl2,
+                etl3, etl4, relational, text, text2, vectors, zlayout):
         out.update(mod.QUERIES)
     return out

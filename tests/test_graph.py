@@ -1,0 +1,45 @@
+"""Planted-truth tests for khop_reach (queries/graph.py)."""
+
+from pyspark.sql import functions as F
+
+from osm_merge_spark.queries.graph import khop_reach
+
+
+def _g(spark, edges, seeds):
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    s = spark.createDataFrame([(x,) for x in seeds], ["node_id"])
+    return und.distinct(), s
+
+
+def test_path_graph_min_hop_distances(spark):
+    # 1-2-3-4-5-6 path, seed at 1, k=3 → nodes 5,6 unreachable within k
+    edges, seeds = _g(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], [1])
+    out = {r.node_id: r.dist for r in khop_reach(edges, seeds, k=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_cycle_takes_shorter_arm(spark):
+    # 6-cycle, seed at 0: the far node is 3 hops via either arm
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    edges, seeds = _g(spark, cyc, [0])
+    out = {r.node_id: r.dist for r in khop_reach(edges, seeds, k=3).collect()}
+    assert out == {0: 0, 1: 1, 5: 1, 2: 2, 4: 2, 3: 3}
+
+
+def test_multi_seed_takes_nearest(spark):
+    # two seeds; node 3 is 1 hop from seed 4, not 3 hops from seed 0
+    edges, seeds = _g(spark, [(0, 1), (1, 2), (2, 3), (3, 4)], [0, 4])
+    out = {r.node_id: r.dist for r in khop_reach(edges, seeds, k=2).collect()}
+    assert out == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_single_lazy_plan_no_actions(spark):
+    # the traversal must stay one lazy plan: building it triggers no jobs
+    edges, seeds = _g(spark, [(1, 2), (2, 3)], [1])
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = khop_reach(edges, seeds, k=3)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert before == after
+    assert df.count() == 3
