@@ -992,3 +992,88 @@ def _sql_od_matrix() -> str:
 
 
 QUERIES["od_matrix"] = (q_od_matrix, _sql_od_matrix())
+
+
+# ---------------------------------------------------------------------------
+# image_patches — ViT-style patchify over REAL decoded pixels
+# ---------------------------------------------------------------------------
+# The patch-embedding front end of every vision transformer: each decoded
+# image splits into (H/P)×(W/P) non-overlapping P×P patches; per patch the
+# pipeline emits integer channel sums — the sufficient statistic a
+# mean-pool patch embedder (or a patch-level quality/blackness gate)
+# consumes. Per-patch sums are integer-exact in both engines, and the
+# DuckDB oracle replays splitmix64 + the QNT codec byte-for-byte, so the
+# match proves the patch GEOMETRY (row-major (y,x,c) → (y//P, x//P)
+# mapping) as well as the decode.
+#
+# 100 TB story: bytes→patches happens inside one mapInPandas pass — pixels
+# reduce executor-side to (H/P·W/P) rows of five ints per image and the
+# raw bytes never shuffle; downstream consumers (patch dedup, patch-level
+# filtering, shard assembly) join on the slim (image_id, py, px) keys.
+IP_P = 4  # patch edge: 16×16 fixture images → 4×4 grid of 4×4 patches
+
+
+def patchify_sums(images: DataFrame, patch: int = IP_P) -> DataFrame:
+    """(image_id, bytes, fmt) → one row per P×P patch: integer channel
+    sums. Arrow-batched; the reshape is numpy view arithmetic, no copy."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        from ..data import images as codec
+
+        for pdf in batches:
+            out = {"image_id": [], "py": [], "px": [],
+                   "pr": [], "pg": [], "pb": []}
+            for iid, buf, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                     pdf["fmt"]):
+                im = codec.decode(bytes(buf), fmt).astype(np.int64)
+                h, w, _ = im.shape
+                ny, nx = h // patch, w // patch
+                # (ny, P, nx, P, 3) → sum over the two P axes
+                sums = (im[: ny * patch, : nx * patch]
+                        .reshape(ny, patch, nx, patch, 3)
+                        .sum(axis=(1, 3)))
+                for py in range(ny):
+                    for px in range(nx):
+                        out["image_id"].append(iid)
+                        out["py"].append(py)
+                        out["px"].append(px)
+                        out["pr"].append(int(sums[py, px, 0]))
+                        out["pg"].append(int(sums[py, px, 1]))
+                        out["pb"].append(int(sums[py, px, 2]))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run,
+        schema="image_id string, py int, px int, pr long, pg long, pb long",
+    )
+
+
+def q_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..data import synth
+
+    img = synth.synth_images(spark, TIS_N, with_bytes=True)
+    return patchify_sums(img, IP_P)
+
+
+def _sql_image_patches() -> str:
+    row_bytes = TIS_W * 3
+    return (
+        f"WITH imgs AS (SELECT CAST(i AS BIGINT) AS i FROM range({TIS_N}) t(i)), "
+        f"{_decoded_bytes_cte()}, "
+        # byte position p in row-major (y, x, c): y = p // (W·3),
+        # x = (p % (W·3)) // 3, c = p % 3 → patch cell (y//P, x//P)
+        f"px AS (SELECT i, p // {row_bytes} AS y,"
+        f" (p % {row_bytes}) // 3 AS x, p % 3 AS c, dv FROM dec) "
+        f"SELECT 'img-' || CAST(i AS VARCHAR) AS image_id,"
+        f" CAST(y // {IP_P} AS INT) AS py, CAST(x // {IP_P} AS INT) AS px,"
+        f" CAST(sum(dv) FILTER (c = 0) AS BIGINT) AS pr,"
+        f" CAST(sum(dv) FILTER (c = 1) AS BIGINT) AS pg,"
+        f" CAST(sum(dv) FILTER (c = 2) AS BIGINT) AS pb"
+        f" FROM px GROUP BY 1, 2, 3"
+    )
+
+
+QUERIES["image_patches"] = (q_image_patches, _sql_image_patches())

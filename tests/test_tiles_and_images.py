@@ -116,3 +116,31 @@ def test_tile_image_stats_matches_numpy(spark):
         assert abs(row["avg_r"] - round(float(mean[0]), 4)) <= 1e-4
         assert abs(row["avg_g"] - round(float(mean[1]), 4)) <= 1e-4
         assert abs(row["avg_b"] - round(float(mean[2]), 4)) <= 1e-4
+
+
+def test_image_patches_conserve_channel_sums(spark):
+    """Σ over an image's patches == the whole-image channel sums, and the
+    patch grid is exactly (H/P)×(W/P)."""
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.data import synth
+    from osm_merge_spark.queries.geo5 import (
+        IP_P, TIS_W, TIS_H, _decode_channel_sums, patchify_sums,
+    )
+
+    img = synth.synth_images(spark, 24, with_bytes=True)
+    whole = {r["image_id"]: (r["sr"], r["sg"], r["sb"])
+             for r in _decode_channel_sums(img).collect()}
+    per_img = (
+        patchify_sums(img)
+        .groupBy("image_id")
+        .agg(F.count("*").alias("n"),
+             F.sum("pr").alias("sr"), F.sum("pg").alias("sg"),
+             F.sum("pb").alias("sb"))
+        .collect()
+    )
+    assert len(per_img) == 24
+    expect_n = (TIS_H // IP_P) * (TIS_W // IP_P)
+    for r in per_img:
+        assert r["n"] == expect_n
+        assert (r["sr"], r["sg"], r["sb"]) == whole[r["image_id"]]
