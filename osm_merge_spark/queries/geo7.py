@@ -188,3 +188,63 @@ def _sql_way_crossings() -> str:
 
 
 QUERIES["way_crossings"] = (q_way_crossings, _sql_way_crossings())
+
+
+# ---------------------------------------------------------------------------
+# way_dedup — near-identical way-geometry deduplication
+# ---------------------------------------------------------------------------
+# The geometry twin of dedup_exact: two ways whose vertex trains quantize
+# to the same 0.01° lattice are duplicate candidates (re-imports, doubled
+# tracings — the reference merges layers but never checks the merged layer
+# for doubled geometry). Fingerprint = the quantized coordinate sequence
+# itself (exact, order-sensitive); groups of >1 report the canonical
+# (min id) way and the group size.
+#
+# Scale shape: ONE hash-groupBy on the fingerprint string — the exact-dedup
+# shape that holds at any corpus size; no joins, no windows. The
+# fingerprint rides the shuffle instead of the geometry arrays only
+# because they're tiny here; at planet scale hash the string to a 64-bit
+# key first (functions/hashes) and keep arrays out of the exchange.
+WD_Q = 100.0  # 0.01° lattice
+
+
+def q_way_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ways = base.ways_df(spark, sf_dir)
+    fp = F.concat_ws(
+        ",",
+        F.transform(
+            F.arrays_zip("xs", "ys"),
+            lambda s: F.concat_ws(
+                ":",
+                F.floor(s["xs"] * F.lit(WD_Q)).cast("long"),
+                F.floor(s["ys"] * F.lit(WD_Q)).cast("long"),
+            ),
+        ),
+    )
+    return (
+        ways.select("way_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("way_id").alias("canonical_id"),
+            F.count("*").alias("n_ways"),
+        )
+        .where(F.col("n_ways") > 1)
+        .select("canonical_id", "n_ways")
+    )
+
+
+def _sql_way_dedup() -> str:
+    q = geo.dlit(WD_Q)
+    return (
+        f"WITH ways AS ({base.WAYS_SQL}), "
+        "fps AS (SELECT way_id, array_to_string(list_transform("
+        " list_zip(xs, ys),"
+        f" s -> CAST(CAST(floor(s[1] * {q}) AS BIGINT) AS VARCHAR) || ':'"
+        f"  || CAST(CAST(floor(s[2] * {q}) AS BIGINT) AS VARCHAR)), ',')"
+        " AS fp FROM ways) "
+        "SELECT min(way_id) AS canonical_id, count(*) AS n_ways"
+        " FROM fps GROUP BY fp HAVING count(*) > 1"
+    )
+
+
+QUERIES["way_dedup"] = (q_way_dedup, _sql_way_dedup())
