@@ -264,3 +264,33 @@ def expire_snapshots(target: str, keep_last: int = 1) -> list[int]:
             f.write(json.dumps(s) + "\n")
     os.replace(tmp, os.path.join(target, "_snaplog.jsonl"))
     return [s["v"] for s in expired]
+
+
+def compact_snapshot(spark: SparkSession, target: str,
+                     target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction — the `rewrite_data_files` maintenance action
+    on the snapshot seam. Streaming ingests and per-tile sinks accrete
+    many small files; on object storage every one is a LIST/open round
+    trip, and Spark schedules a task per file-split, so a 10^12-row table
+    of 4 MB files wastes most of a cluster's scheduler budget.
+
+    Reads the CURRENT snapshot, rewrites it into ceil(bytes/target_bytes)
+    files, and commits the rewrite as a NEW snapshot — readers pinned to
+    old versions are untouched (time travel intact), and a crash
+    mid-compact leaves the current pointer on the uncompacted snapshot.
+    Returns the new snapshot version."""
+    import math
+    import os
+
+    cur = read_snapshot(spark, target)
+    snaps = snapshots(target)
+    with open(os.path.join(target, "_current")) as f:
+        v = int(f.read().strip())
+    path = next(s["path"] for s in snaps if s["v"] == v)
+    size = sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for dp, _dns, fns in os.walk(path)
+        for fn in fns if fn.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_bytes))
+    return commit_snapshot(cur.coalesce(n_files), target)

@@ -119,3 +119,25 @@ def test_missing_current_falls_back_to_latest_logged(spark, tmp_path):
     tables.commit_snapshot(_df(spark, 5), tgt)
     os.remove(os.path.join(tgt, "_current"))
     assert tables.read_snapshot(spark, tgt).count() == 5
+
+
+def test_compact_snapshot_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction rewrites the current snapshot into fewer files as a NEW
+    version: same rows, old versions' files untouched (time travel)."""
+    import glob
+
+    tgt = str(tmp_path / "tbl")
+    # commit a deliberately fragmented snapshot (32 files of ~nothing)
+    tables.commit_snapshot(_df(spark, 500).repartition(32), tgt)
+    before = glob.glob(f"{tgt}/snap-v1/*.parquet")
+    assert len(before) == 32
+    v = tables.compact_snapshot(spark, tgt, target_bytes=1 << 30)
+    assert v == 2
+    after = glob.glob(f"{tgt}/snap-v2/*.parquet")
+    assert len(after) == 1
+    cur = tables.read_snapshot(spark, tgt)
+    old = tables.read_snapshot(spark, tgt, version=1)
+    assert cur.count() == old.count() == 500
+    assert cur.exceptAll(old).count() == 0
+    # v1's fragmented files survive for pinned readers
+    assert len(glob.glob(f"{tgt}/snap-v1/*.parquet")) == 32
