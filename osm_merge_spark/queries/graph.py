@@ -120,3 +120,79 @@ def _sql_khop_reach() -> str:
 
 
 QUERIES["khop_reach"] = (q_khop_reach, _sql_khop_reach())
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering — per-node degree + triangle count (local clustering)
+# ---------------------------------------------------------------------------
+# The second classic distributed-graph staple after BFS: triangles per
+# node over the same co-occurrence graph (community density; wedges =
+# C(degree,2) gives the local clustering coefficient downstream without
+# another pass). Counts are integers, so both engines match exactly —
+# the reason this query is oracle-checkable where float PageRank isn't.
+#
+# Scale shape: the standard wedge-then-close plan — one self-join on the
+# hub node builds wedges (u; v<w), one equi-join against the edge list
+# closes them; all shuffled-hash on node keys, counts reduce map-side.
+# Wedge fan-out is Σ deg² — the hub-dominated term every triangle counter
+# pays; at 10^12 edges you cap it the standard way (count on the
+# degree-ordered orientation so each wedge forms at its lowest-degree
+# vertex), which this fixture's bounded degrees don't need.
+def clustering_counts(edges: DataFrame) -> DataFrame:
+    """(src, dst) undirected-as-directed edges → (node_id, degree, n_tri)."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    e1 = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = edges.select(F.col("src").alias("u2"), F.col("dst").alias("w"))
+    wedges = e1.join(
+        e2.hint("shuffle_hash"),
+        (F.col("u") == F.col("u2")) & (F.col("v") < F.col("w")),
+    ).select("u", "v", "w")
+    closer = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = (
+        wedges.join(closer.hint("shuffle_hash"), ["v", "w"])
+        .groupBy("u")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.join(tri.hint("shuffle_hash"),
+                 deg["src"] == tri["u"], "left")
+        .select(
+            F.col("src").alias("node_id"),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        )
+    )
+
+
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering_counts(_cooccur_edges(spark, sf_dir))
+
+
+def _sql_graph_clustering() -> str:
+    return (
+        "WITH li AS ("
+        " SELECT l_orderkey, l_linenumber, min(l_partkey) AS pk"
+        " FROM lineitem GROUP BY 1, 2), "
+        "pairs AS ("
+        " SELECT lag(pk) OVER (PARTITION BY l_orderkey"
+        "  ORDER BY l_linenumber) AS a, pk AS b FROM li), "
+        "edges AS ("
+        " SELECT a AS src, b AS dst FROM pairs"
+        "  WHERE a IS NOT NULL AND a <> b"
+        " UNION"
+        " SELECT b AS src, a AS dst FROM pairs"
+        "  WHERE a IS NOT NULL AND a <> b), "
+        "deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src), "
+        "wedges AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w"
+        " FROM edges e1 JOIN edges e2 ON e1.src = e2.src"
+        " AND e1.dst < e2.dst), "
+        "tri AS (SELECT u, count(*) AS n_tri FROM wedges"
+        " JOIN edges c ON c.src = wedges.v AND c.dst = wedges.w"
+        " GROUP BY u) "
+        "SELECT d.src AS node_id, CAST(d.degree AS BIGINT) AS degree,"
+        " CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri"
+        " FROM deg d LEFT JOIN tri t ON t.u = d.src"
+    )
+
+
+QUERIES["graph_clustering"] = (q_graph_clustering, _sql_graph_clustering())

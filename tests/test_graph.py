@@ -43,3 +43,19 @@ def test_single_lazy_plan_no_actions(spark):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert before == after
     assert df.count() == 3
+
+
+def test_graph_clustering_planted_triangle_and_square(spark):
+    """K3 ∪ C4 through the REAL operator: triangle nodes count 1 triangle,
+    square nodes 0, every node degree 2."""
+    from osm_merge_spark.queries.graph import clustering_counts
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    sq = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    edges, _ = _g(spark, tri + sq, [1])
+    out = {r.node_id: (r.degree, r.n_tri)
+           for r in clustering_counts(edges).collect()}
+    assert out == {
+        1: (2, 1), 2: (2, 1), 3: (2, 1),
+        10: (2, 0), 11: (2, 0), 12: (2, 0), 13: (2, 0),
+    }
