@@ -92,3 +92,44 @@ def test_plan_is_hash_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_random_segments_match_brute_force(spark):
+    """Candidate completeness: on pseudo-random segment sets (spans from a
+    fraction of a cell to several cells), the cell-join + ring-1 pipeline
+    finds EXACTLY the proper crossings an all-pairs brute force finds."""
+
+    def brute(segs):
+        hits = set()
+        for i in range(len(segs)):
+            for jj in range(i + 1, len(segs)):
+                ax, ay, bx, by = segs[i]
+                cx, cy, ex, ey = segs[jj]
+                d1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+                d2 = (bx - ax) * (ey - ay) - (by - ay) * (ex - ax)
+                d3 = (ex - cx) * (ay - cy) - (ey - cy) * (ax - cx)
+                d4 = (ex - cx) * (by - cy) - (ey - cy) * (bx - cx)
+                if d1 * d2 < 0 and d3 * d4 < 0:
+                    hits.add((i + 1, jj + 1))
+        return hits
+
+    def lcg(seed):
+        s = seed
+        while True:
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            yield (s >> 11) / float(1 << 53)
+
+    for seed in (7, 99, 12345):
+        u = lcg(seed)
+        segs = []
+        for _ in range(40):
+            x0, y0 = next(u) * 0.8, next(u) * 0.8
+            # spans 0.002°–0.25° — sub-cell through multi-cell
+            dx = (next(u) - 0.5) * 0.5
+            dy = (next(u) - 0.5) * 0.5
+            segs.append((x0, y0, x0 + dx, y0 + dy))
+        ways = _ways(spark, [
+            (i + 1, [s[0], s[2]], [s[1], s[3]]) for i, s in enumerate(segs)
+        ])
+        got = {(r.way_a, r.way_b) for r in way_crossings(ways).collect()}
+        assert got == brute(segs), f"seed {seed}"
