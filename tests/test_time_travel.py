@@ -141,3 +141,37 @@ def test_compact_snapshot_reduces_files_preserves_rows(spark, tmp_path):
     assert cur.exceptAll(old).count() == 0
     # v1's fragmented files survive for pinned readers
     assert len(glob.glob(f"{tgt}/snap-v1/*.parquet")) == 32
+
+
+def test_compaction_preserves_snapshot_diff_semantics(spark, sf_dir, tmp_path):
+    """Maintenance must be invisible to queries: after compacting the
+    current (v2) snapshot into v3, the v-pinned diff v2∖v1 is unchanged,
+    and the CURRENT-vs-v1 diff through the compacted table equals it row
+    for row — rewrite_data_files semantics, not a content change."""
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries import base
+
+    lyr = base.layer_df(spark, sf_dir).select(
+        "feature_id", "version", "s_lon", "s_lat"
+    )
+    v1_df = lyr.filter(F.col("feature_id") % 2 == 0)
+    v2_df = lyr.withColumn(
+        "version",
+        F.when(F.col("feature_id") % 10 == 0,
+               F.col("version") + 1).otherwise(F.col("version")),
+    )
+    tgt = str(tmp_path / "layer_tbl")
+    tables.commit_snapshot(v1_df.repartition(16), tgt)
+    tables.commit_snapshot(v2_df.repartition(16), tgt)
+    before = tables.read_snapshot(spark, tgt, version=2) \
+        .exceptAll(tables.read_snapshot(spark, tgt, version=1))
+    n_before = before.count()
+
+    v3 = tables.compact_snapshot(spark, tgt, target_bytes=1 << 30)
+    assert v3 == 3
+    cur = tables.read_snapshot(spark, tgt)  # now the compacted v3
+    after = cur.exceptAll(tables.read_snapshot(spark, tgt, version=1))
+    assert after.count() == n_before
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
