@@ -373,9 +373,14 @@ def s2_cell_numpy(lon, lat, level: int = 13):
     truncated to `level` — the independent cross-check for the automaton
     paths (different table, different bit schedule, same ids).
     Returns int64 (two's-complement view of the uint64 id)."""
+    face, i, j = _faceij30_numpy(lon, lat)
+    return _fold30_numpy(face, i, j, level)
+
+
+def _faceij30_numpy(lon, lat):
+    """(lon, lat) arrays → (face, i30, j30) int64 arrays (level-30 ij)."""
     import numpy as np
 
-    lookup_pos = np.array(_build_lookup_pos(), dtype=np.int64)
     lon_r = np.radians(np.asarray(lon, dtype=np.float64))
     lat_r = np.radians(np.asarray(lat, dtype=np.float64))
     x = np.cos(lat_r) * np.cos(lon_r)
@@ -405,7 +410,16 @@ def s2_cell_numpy(lon, lat, level: int = 13):
     lim = 1 << 30
     i = np.clip(np.floor(lim * st(u)), 0, lim - 1).astype(np.int64)
     j = np.clip(np.floor(lim * st(v)), 0, lim - 1).astype(np.int64)
+    return face, i, j
 
+
+def _fold30_numpy(face, i, j, level: int):
+    """(face, i30, j30) → canonical signed-int64 id at `level` (the
+    1024-entry lookup fold from s2_cell_numpy, shared with the ring-1
+    batch kernel)."""
+    import numpy as np
+
+    lookup_pos = np.array(_build_lookup_pos(), dtype=np.int64)
     n = face.astype(np.uint64) << np.uint64(60)
     bits = face & 1  # kSwapMask bit seeds the orientation
     for k in range(7, -1, -1):
@@ -417,6 +431,45 @@ def s2_cell_numpy(lon, lat, level: int = 13):
     lsb = np.uint64(1) << np.uint64(2 * (30 - level))
     parent = (leaf & ~(np.uint64(2) * lsb - np.uint64(1))) | lsb
     return parent.view(np.int64)
+
+
+def s2_cells_ring1_numpy(lon, lat, level: int):
+    """Batch twin of with_s2_cells_ring1's per-row cell set: the (n, 9)
+    int64 array of the row's cell + its 8 ij-neighbors at `level`, clamped
+    to the face (clamp duplicates left in — callers array_distinct).
+    Neighbor arithmetic happens in level-`level` ij space exactly like the
+    Catalyst version; shifting back to level-30 space feeds the shared
+    fold (any leaf inside a cell folds to the same parent id)."""
+    import numpy as np
+
+    face, i30, j30 = _faceij30_numpy(lon, lat)
+    s = 30 - level
+    lim = (1 << level) - 1
+    il, jl = i30 >> s, j30 >> s
+    cols = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ni = np.clip(il + di, 0, lim) << s
+            nj = np.clip(jl + dj, 0, lim) << s
+            cols.append(_fold30_numpy(face, ni, nj, level))
+    return np.stack(cols, axis=1)
+
+
+def s2_cells_ring1_udf(level: int = 19):
+    """Arrow-batched pandas UDF: (lon, lat) -> array<long> of 9 ring-1
+    cell ids (with clamp duplicates) — the vectorized build-side encoder
+    for the S2-keyed distance join. ~100× the HOF-aggregate expression
+    tree's throughput at level 19 (9 Hilbert folds per row interpret
+    poorly; the numpy fold is 8 table lookups over the whole batch)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cells = s2_cells_ring1_numpy(lon.to_numpy(), lat.to_numpy(), level)
+        return pd.Series(list(cells))
+
+    _enc.__annotations__ = {"lon": pd.Series, "lat": pd.Series, "return": pd.Series}
+    return pandas_udf(_enc, "array<long>")
 
 
 def s2_cell_udf(level: int = 13):

@@ -386,15 +386,25 @@ _S2_JOIN_LEVEL = 19
 
 
 def q_s2_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Encoders are the vectorized Arrow kernels (the north rule's own
+    # wording), not the Catalyst HOF fold: at level 19 the probe fold is 19
+    # chained struct steps and the build side folds 9 neighbors per row —
+    # interpreted expression cost that measured 54.7 s at sf0.1 vs 1.7 s
+    # for the numpy fold (8 whole-batch table lookups) — 33×, identical
+    # ids (tests pin catalyst == udf == numpy; ring-1 sets match per row).
     from ..functions import s2
 
-    img = s2.with_s2_cell(
-        base.images_df(spark, sf_dir).select("image_id", "lon", "lat"),
-        level=_S2_JOIN_LEVEL,
+    img = base.images_df(spark, sf_dir).select(
+        "image_id", "lon", "lat",
+        s2.s2_cell_udf(_S2_JOIN_LEVEL)(F.col("lon"), F.col("lat"))
+        .alias("s2_cell"),
     )
-    lyr = s2.with_s2_cells_ring1(
-        base.layer_df(spark, sf_dir).select("feature_id", "s_lon", "s_lat"),
-        lon="s_lon", lat="s_lat", level=_S2_JOIN_LEVEL,
+    ring = s2.s2_cells_ring1_udf(_S2_JOIN_LEVEL)
+    lyr = base.layer_df(spark, sf_dir).select(
+        "feature_id", "s_lon", "s_lat",
+        F.explode(
+            F.array_distinct(ring(F.col("s_lon"), F.col("s_lat")))
+        ).alias("s2_cell"),
     )
     return (
         img.join(F.broadcast(lyr), "s2_cell")

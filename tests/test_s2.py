@@ -190,3 +190,26 @@ def test_s2_dist_join_equals_cellgrid_dist_join(spark, sf_dir):
     a = a.sort_values(key, ignore_index=True)
     b = b.sort_values(key, ignore_index=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_ring1_numpy_matches_catalyst(spark):
+    """The Arrow ring-1 batch kernel (s2_cells_ring1_numpy) produces the
+    same per-row neighbor-cell SET as the Catalyst HOF version at the join
+    level — the equivalence q_s2_dist_join's 33x Arrow path rests on."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rows = [(float(-109.2 + i * 0.017), float(43.4 + ((i * 37) % 53) * 0.011))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["lon", "lat"])
+    cat = (
+        s2.with_s2_cells_ring1(df, level=19)
+        .groupBy("lon", "lat")
+        .agg(F.sort_array(F.collect_set("s2_cell")).alias("cs"))
+    )
+    got = {(r.lon, r.lat): tuple(r.cs) for r in cat.collect()}
+    lon = np.array([r[0] for r in rows])
+    lat = np.array([r[1] for r in rows])
+    ncells = s2.s2_cells_ring1_numpy(lon, lat, 19)
+    for k, key in enumerate(rows):
+        assert got[key] == tuple(sorted({int(x) for x in ncells[k]}))
