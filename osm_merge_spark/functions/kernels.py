@@ -107,23 +107,94 @@ def point_in_polygon_udf(ring_x: Sequence[float], ring_y: Sequence[float]):
     return _pip
 
 
+def _pip_rowloop(pxv, pyv, rxs, rys) -> np.ndarray:
+    """Reference row loop (the original point_in_ring body) — kept as the
+    equivalence oracle for the vectorized batch kernel below."""
+    out = np.zeros(len(pxv), dtype=bool)
+    for i in range(len(pxv)):
+        rx = np.asarray(rxs[i], dtype=np.float64)
+        ry = np.asarray(rys[i], dtype=np.float64)
+        if len(rx) >= 3:
+            out[i] = _raycast_polygon(pxv[i : i + 1], pyv[i : i + 1], rx, ry)[0]
+    return out
+
+
+def pip_batch(pxv: np.ndarray, pyv: np.ndarray, rxs, rys) -> np.ndarray:
+    """Vectorized per-row-polygon PIP: even-odd parity over ALL edges of
+    every row's rings in ONE flattened pass (no Python per row). Identical
+    semantics to _pip_rowloop — NaN ring separators, closing-duplicate
+    stripping, <3-vertex rings ignored, per-edge math in the same
+    expression form (xint = (xj−xi)·(py−yi)/(yj−yi)+xi) — property-tested
+    equal. Total-crossing parity per row == XOR of per-ring parities, so
+    one bincount replaces the ring loop."""
+    n = len(pxv)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    lens = np.fromiter((len(a) for a in rxs), dtype=np.int64, count=n)
+    if lens.sum() == 0:
+        return np.zeros(n, dtype=bool)
+    X = np.concatenate([np.asarray(a, np.float64) for a in rxs])
+    Y = np.concatenate([np.asarray(a, np.float64) for a in rys])
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    nan = np.isnan(X)
+    # ring id: a ring starts at a row boundary or right after a NaN
+    first = np.ones(len(X), dtype=bool)
+    first[1:] = (row[1:] != row[:-1]) | nan[:-1]
+    rid = np.cumsum(first) - 1
+    keep = ~nan
+    X, Y, row, rid = X[keep], Y[keep], row[keep], rid[keep]
+    if len(X) == 0:
+        return np.zeros(n, dtype=bool)
+    # compact ring ids to contiguous runs, get per-ring spans
+    start = np.ones(len(X), dtype=bool)
+    start[1:] = rid[1:] != rid[:-1]
+    rid = np.cumsum(start) - 1
+    starts = np.flatnonzero(start)
+    ends = np.append(starts[1:], len(X)) - 1
+    rl = ends - starts + 1
+    # strip per-ring closing duplicate (wrap edge supplies closure)
+    dup = (rl >= 2) & (X[ends] == X[starts]) & (Y[ends] == Y[starts])
+    drop = np.zeros(len(X), dtype=bool)
+    drop[ends[dup]] = True
+    rl = rl - dup.astype(np.int64)
+    # drop rings that are no longer simple polygons (<3 vertices)
+    small = rl < 3
+    if small.any():
+        drop |= small[rid]
+    if drop.any():
+        keep = ~drop
+        X, Y, row, rid = X[keep], Y[keep], row[keep], rid[keep]
+        if len(X) == 0:
+            return np.zeros(n, dtype=bool)
+        start = np.ones(len(X), dtype=bool)
+        start[1:] = rid[1:] != rid[:-1]
+        rid = np.cumsum(start) - 1
+        starts = np.flatnonzero(start)
+        ends = np.append(starts[1:], len(X)) - 1
+    # edge (i → j): j is the previous vertex, wrapping to the ring's end
+    j = np.arange(len(X), dtype=np.int64) - 1
+    j[starts] = ends
+    Xi, Yi, Xj, Yj = X, Y, X[j], Y[j]
+    P, Q = pxv[row], pyv[row]
+    cond = (Yi > Q) != (Yj > Q)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (Xj - Xi) * (Q - Yi) / (Yj - Yi) + Xi
+    cross = cond & (P < xint)
+    counts = np.bincount(row[cross], minlength=n)
+    return (counts & 1).astype(bool)
+
+
 @pandas_udf(BooleanType())
 def point_in_ring(px: pd.Series, py: pd.Series, rxs: pd.Series, rys: pd.Series) -> pd.Series:
     """PIP where the polygon varies per row (post-cell-join PIP refine, J8);
-    NaN-separated interior rings supported (even-odd parity).
-
-    Row loop in Python, edge math in NumPy — candidate pairs after the cell
-    join are already a tiny fraction of the input, so this is off the 100 TB
-    hot path by construction.
-    """
-    out = np.zeros(len(px), dtype=bool)
-    pxv, pyv = px.to_numpy(np.float64), py.to_numpy(np.float64)
-    for i in range(len(px)):
-        rx = np.asarray(rxs.iat[i], dtype=np.float64)
-        ry = np.asarray(rys.iat[i], dtype=np.float64)
-        if len(rx) >= 3:
-            out[i] = _raycast_polygon(pxv[i : i + 1], pyv[i : i + 1], rx, ry)[0]
-    return pd.Series(out)
+    NaN-separated interior rings supported (even-odd parity). One
+    vectorized pass over the batch's flattened edges (pip_batch) — the
+    original Python row loop measured 100 s on pip_join's 33M candidates
+    at sf0.1; the batch kernel removes the per-row interpreter cost."""
+    return pd.Series(
+        pip_batch(px.to_numpy(np.float64), py.to_numpy(np.float64),
+                  list(rxs), list(rys))
+    )
 
 
 def pip_oracle(px: float, py: float, ring: list[tuple[float, float]]) -> bool:
