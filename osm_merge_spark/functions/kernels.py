@@ -287,6 +287,49 @@ def _clip_poly(sx: np.ndarray, sy: np.ndarray, cx: np.ndarray, cy: np.ndarray):
     return np.asarray(ox), np.asarray(oy)
 
 
+def _rect_bounds_batch(cols: list, n: int):
+    """Detect axis-aligned rectangle rings across a batch. Returns
+    (ok, xmin, xmax) — ok[i] iff row i is a 4-vertex (after closing
+    duplicate) ring whose consecutive edges are axis-aligned and
+    alternate axes (excludes bowtie orderings). Grouped by ring length so
+    every check is one 2-D numpy op; rows of other lengths just fail."""
+    lens = np.fromiter((len(a) for a in cols), dtype=np.int64, count=n)
+    ok = np.zeros(n, dtype=bool)
+    lo = np.zeros(n, dtype=np.float64)
+    hi = np.zeros(n, dtype=np.float64)
+    quads = np.zeros((n, 4), dtype=np.float64)
+    for ln in (4, 5):
+        idx = np.flatnonzero(lens == ln)
+        if len(idx) == 0:
+            continue
+        mat = np.array([np.asarray(cols[i], np.float64) for i in idx])
+        good = np.ones(len(idx), dtype=bool)
+        if ln == 5:
+            good &= mat[:, 0] == mat[:, 4]
+            mat = mat[:, :4]
+        quads[idx] = mat
+        ok[idx] = good
+        lo[idx] = mat.min(axis=1)
+        hi[idx] = mat.max(axis=1)
+    return ok, lo, hi, quads
+
+
+def _rects_batch(xs, ys, n: int):
+    """(ok, xmin, ymin, xmax, ymax) for rows that are axis-aligned
+    rectangle rings in both coordinates."""
+    okx, xmin, xmax, qx = _rect_bounds_batch(xs, n)
+    oky, ymin, ymax, qy = _rect_bounds_batch(ys, n)
+    ok = okx & oky
+    if ok.any():
+        # consecutive edges axis-aligned AND alternating (no bowties):
+        # each edge holds exactly one coordinate constant
+        ex = qx == np.roll(qx, -1, axis=1)
+        ey = qy == np.roll(qy, -1, axis=1)
+        ok &= (ex ^ ey).all(axis=1)
+        ok &= (ex[:, 0] != ex[:, 1]) & (ex[:, 1] != ex[:, 2])
+    return ok, xmin, ymin, xmax, ymax
+
+
 @pandas_udf(DoubleType())
 def polygon_intersection_area(
     xs1: pd.Series, ys1: pd.Series, xs2: pd.Series, ys2: pd.Series
@@ -296,9 +339,25 @@ def polygon_intersection_area(
     Exact when polygon2 (the clip side) is convex — building footprints in
     the dedupe path; concave clip sides would need a general clipper and are
     flagged by tests.
-    """
-    out = np.zeros(len(xs1), dtype=np.float64)
-    for i in range(len(xs1)):
+
+    Axis-aligned rectangle pairs (the dominant footprint shape) take a
+    fully vectorized closed-form path — w·h of the bbox overlap, the same
+    formula the DuckDB oracle uses — detected by a strict ring-shape guard
+    (4 vertices, axis-aligned alternating edges); everything else falls to
+    the general Sutherland–Hodgman row loop. The row loop alone measured
+    ~30 s on building_pairs' 1.5M pairs at sf0.1."""
+    n = len(xs1)
+    X1, Y1 = list(xs1), list(ys1)
+    X2, Y2 = list(xs2), list(ys2)
+    out = np.zeros(n, dtype=np.float64)
+    ok1, ax0, ay0, ax1, ay1 = _rects_batch(X1, Y1, n)
+    ok2, bx0, by0, bx1, by1 = _rects_batch(X2, Y2, n)
+    fast = ok1 & ok2
+    if fast.any():
+        w = np.minimum(ax1, bx1) - np.maximum(ax0, bx0)
+        h = np.minimum(ay1, by1) - np.maximum(ay0, by0)
+        out[fast] = (np.maximum(w, 0.0) * np.maximum(h, 0.0))[fast]
+    for i in np.flatnonzero(~fast):
         sx = np.asarray(xs1.iat[i], dtype=np.float64)
         sy = np.asarray(ys1.iat[i], dtype=np.float64)
         cx = np.asarray(xs2.iat[i], dtype=np.float64)

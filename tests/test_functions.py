@@ -265,3 +265,55 @@ def test_pip_batch_equals_rowloop_on_random_polygons():
         got = pip_batch(px, py, rxs, rys)
         ref = _pip_rowloop(px, py, rxs, rys)
         assert (got == ref).all()
+
+
+def test_polygon_area_rect_fast_path_equals_clip_loop():
+    """The vectorized rectangle closed form agrees with the general
+    Sutherland–Hodgman loop on rect×rect (open/closed/reversed rings,
+    disjoint), and non-rectangles — pentagons, triangles, bowtie
+    orderings — correctly fall through to the loop."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_merge_spark.functions import kernels as K
+
+    def rect(x0, y0, w, h, closed=True, reverse=False):
+        xs = np.array([x0, x0 + w, x0 + w, x0])
+        ys = np.array([y0, y0, y0 + h, y0 + h])
+        if reverse:
+            xs, ys = xs[::-1], ys[::-1]
+        if closed:
+            xs, ys = np.append(xs, xs[0]), np.append(ys, ys[0])
+        return xs, ys
+
+    def loop_area(sx, sy, cx, cy):
+        sx, sy = np.asarray(sx, float), np.asarray(sy, float)
+        cx, cy = np.asarray(cx, float), np.asarray(cy, float)
+        if len(sx) < 3 or len(cx) < 3:
+            return 0.0
+        if sx[0] == sx[-1] and sy[0] == sy[-1]:
+            sx, sy = sx[:-1], sy[:-1]
+        if cx[0] == cx[-1] and cy[0] == cy[-1]:
+            cx, cy = cx[:-1], cy[:-1]
+        c = K._clip_poly(sx - sx[0], sy - sy[0], cx - sx[0], cy - sy[0])
+        return 0.0 if c is None or len(c[0]) < 3 else K._shoelace(c[0], c[1])
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for _ in range(120):
+        rows.append((rect(rng.rand(), rng.rand(), 0.3, 0.2,
+                          closed=bool(rng.randint(2)),
+                          reverse=bool(rng.randint(2))),
+                     rect(rng.rand(), rng.rand(), 0.25, 0.35)))
+    ang = np.sort(np.linspace(0.1, 6.0, 5))
+    rows.append(((0.5 + 0.4 * np.cos(ang), 0.5 + 0.4 * np.sin(ang)),
+                 rect(0.3, 0.3, 0.4, 0.4)))
+    rows.append(((np.array([0, 1, 0, 1.0]), np.array([0, 0, 1, 1.0])),
+                 rect(0.2, 0.2, 0.5, 0.5)))  # bowtie: not a rectangle ring
+    rows.append(((np.array([0, 1, 0.5]), np.array([0, 0, 1.0])),
+                 rect(0.1, 0.1, 0.6, 0.6)))
+    X1 = pd.Series([a[0] for a, _ in rows]); Y1 = pd.Series([a[1] for a, _ in rows])
+    X2 = pd.Series([b[0] for _, b in rows]); Y2 = pd.Series([b[1] for _, b in rows])
+    got = K.polygon_intersection_area.func(X1, Y1, X2, Y2).to_numpy()
+    ref = np.array([loop_area(a[0], a[1], b[0], b[1]) for a, b in rows])
+    assert np.abs(got - ref).max() < 1e-12
