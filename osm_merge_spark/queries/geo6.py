@@ -196,47 +196,54 @@ def _trace_pings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _way_min_d2(px, py, xs, ys):
-    """min over the way's segments of the squared point-to-segment distance
-    in equirect scaled degrees — array_min over a transform, pure codegen."""
-    kx = F.lit(_KX)
-    pxs, pys = px * kx, py
-
-    def seg_d2(k):
-        ax, ay = F.element_at(xs, k) * kx, F.element_at(ys, k)
-        bx = F.element_at(xs, k + 1) * kx
-        by = F.element_at(ys, k + 1)
-        dx, dy = bx - ax, by - ay
-        seg2 = dx * dx + dy * dy
-        t = F.when(seg2 == F.lit(0.0), F.lit(0.0)).otherwise(
-            F.least(
-                F.greatest(
-                    ((pxs - ax) * dx + (pys - ay) * dy) / seg2, F.lit(0.0)
-                ),
-                F.lit(1.0),
-            )
-        )
-        cx, cy = ax + t * dx, ay + t * dy
-        return (pxs - cx) * (pxs - cx) + (pys - cy) * (pys - cy)
-
-    return F.array_min(
-        F.transform(F.sequence(F.lit(1), F.size(xs) - 1), seg_d2)
-    )
-
-
 def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .geo5 import SP_N
 
+    from ..functions.barrier import eval_once
+
     pings = _trace_pings(spark, sf_dir)
-    ways = base.ways_df(spark, sf_dir).select("way_id", "xs", "ys")
+    # barrier the synthesized geometry arrays: without it CollapseProject
+    # inlines ways_df's giant CASE array expressions into EVERY element_at
+    # of the per-segment distance HOF (refine_distance's documented
+    # pathology) — measured 76 s → 2.9 s on the 5.4M-candidate refine
+    ways = eval_once(
+        base.ways_df(spark, sf_dir).select("way_id", "xs", "ys"),
+        ["xs", "ys"],
+    )
     cand = cell_join.candidate_pairs(
         pings, ways, MM_GRID, p_key="pkey", s_key="way_id",
         dedup_pairs=False,  # the per-ping argmin absorbs multi-cell dupes
     )
-    scored = cand.withColumn(
-        "d2", _way_min_d2(F.col("lon"), F.col("lat"), F.col("xs"), F.col("ys"))
-    ).filter(F.col("d2") <= F.lit(MM_R2)).select(
-        "pkey", "trace_id", "way_id", "d2"
+    # min-over-segments as explode + codegen columns + hash-agg min, NOT
+    # array_min(transform(...)): higher-order functions run interpreted —
+    # the HOF form measured 55 s on these 5.4M candidates where the same
+    # math as plain columns over exploded segments runs in seconds. min()
+    # is order-independent, so the values are identical to _way_min_d2's.
+    kx = F.lit(_KX)
+    seg = cand.select(
+        "pkey", "trace_id", "way_id", "lon", "lat", "xs", "ys",
+        F.explode(F.sequence(F.lit(1), F.size("xs") - 1)).alias("k"),
+    )
+    ax = F.element_at("xs", F.col("k")) * kx
+    ay = F.element_at("ys", F.col("k"))
+    bx = F.element_at("xs", F.col("k") + 1) * kx
+    by = F.element_at("ys", F.col("k") + 1)
+    pxs, pys = F.col("lon") * kx, F.col("lat")
+    dx, dy = bx - ax, by - ay
+    seg2 = dx * dx + dy * dy
+    t = F.when(seg2 == F.lit(0.0), F.lit(0.0)).otherwise(
+        F.least(
+            F.greatest(((pxs - ax) * dx + (pys - ay) * dy) / seg2, F.lit(0.0)),
+            F.lit(1.0),
+        )
+    )
+    cx, cy = ax + t * dx, ay + t * dy
+    d2 = (pxs - cx) * (pxs - cx) + (pys - cy) * (pys - cy)
+    scored = (
+        seg.select("pkey", "trace_id", "way_id", d2.alias("d2"))
+        .groupBy("pkey", "trace_id", "way_id")
+        .agg(F.min("d2").alias("d2"))
+        .filter(F.col("d2") <= F.lit(MM_R2))
     )
     best = knn.top_k_agg(scored, "pkey", "d2", "way_id", k=1,
                          const_cols=["trace_id"])
