@@ -753,9 +753,15 @@ QUERIES["image_dedup_assemble"] = (
 # stragglers. Every shuffle scales with executors; AQE splits skewed cells.
 SNAP_LAT0_COS = 0.7229569579100136  # cos(43.7° · π/180) — AOI center
 _M_PER_DEG = 111_320.0
-# Radius ladder: round i's acceptance guarantee covers the data's tail by
-# round 3 at every tested SF (sf0.001 max snap dist ≈ 35 km < 48 km bound).
-SNAP_RADII_M = (1_000.0, 8_000.0, 48_000.0)
+# Radius ladder: two rounds, then the salted fallback. A third 48 km round
+# used to close the tail, but at that radius the grid has 2-4 cells over
+# the whole AOI — every straggler×segment pair lands on a couple of join
+# keys and ONE task computes them all (measured 235 s of the ladder's
+# 316 s at sf0.1, pure single-key skew). The salted fallback does the
+# identical exact-argmin work spread over FB_SALT reducers, so stragglers
+# go straight there (round-3 removal changes no output row: rounds accept
+# only provably-global argmins; the fallback scans all segments exactly).
+SNAP_RADII_M = (1_000.0, 8_000.0)
 # A round's best is provably the global argmin when its equirect distance is
 # ≤ 0.7·cell_edge·kx: covering_cells samples at res/2 spacing (the nearest
 # sample is within res/4 of the true foot point), ring-1 reaches ±1 cell, so
