@@ -350,11 +350,17 @@ def _sql_aoi_clip() -> str:
 # S2-indexed dataset. Oracle mirrors the Hilbert automaton as a CTE chain.
 # ---------------------------------------------------------------------------
 def q_s2_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-batched encoder on the corpus side (same ids as the Catalyst
+    # fold — pinned by tests; 3.5× here, the fold is interpreted); the
+    # pure-Catalyst with_s2_cell stays the no-Python-workers option and
+    # the oracle mirrors its CTE chain unchanged.
     from ..functions import s2
 
     img = base.images_df(spark, sf_dir).select("image_id", "lon", "lat")
     return (
-        s2.with_s2_cell(img, level=13)
+        img.withColumn(
+            "s2_cell", s2.s2_cell_udf(13)(F.col("lon"), F.col("lat"))
+        )
         .groupBy("s2_cell")
         .agg(F.count("*").alias("n_images"), F.min("image_id").alias("first_image"))
     )
