@@ -248,3 +248,118 @@ def _sql_way_dedup() -> str:
 
 
 QUERIES["way_dedup"] = (q_way_dedup, _sql_way_dedup())
+
+
+# ---------------------------------------------------------------------------
+# hull_cells — convex-hull footprint of the capture coverage
+# ---------------------------------------------------------------------------
+# The "what did we actually cover" outline every survey/conflation campaign
+# wants next to its tile grid (the reference draws AOI extracts from a GIVEN
+# boundary — tm-splitter.py consumes one; this derives the boundary FROM the
+# data): the convex hull of the occupied capture cells, reported as the
+# boundary cells themselves. Geometry runs on the INTEGER tile lattice
+# (tx, ty are BIGINT floor(mercator/m) indices), so every orientation test is
+# an exact 64-bit cross product — bit-identical in both engines, no float
+# epsilon anywhere.
+#
+# Construction (identical in Spark and the DuckDB oracle, so the output
+# semantics are exact by definition):
+#   1. corpus -> occupied cells: ONE map-side-combinable groupBy (the only
+#      stage that sees corpus rows);
+#   2. row-extremes prefilter: per ty keep min/max tx. Every cell is a convex
+#      combination of its row extremes, so hull(extremes) == hull(all cells);
+#      candidate count is <= 2 * |y-lattice| — data-independent;
+#   3. membership: extreme p is on the hull boundary iff some other extreme q
+#      has ALL extremes on the left of ray p->q (min over r of
+#      cross(q-p, r-p) >= 0). For consecutive CCW hull vertices that q
+#      exists; for strict interior points no q works. O(n^3) with
+#      n <= 2*|y-lattice| (~36 here): a 47k-row epilogue.
+# Output: hull-boundary cells that are row extremes (a horizontal top/bottom
+# hull edge is represented by its row extremes, not every collinear cell) +
+# each cell's image count.
+#
+# 100 TB story: stage 1 is the corpus pass (partial agg, no skew exposure —
+# the hot cluster collapses map-side); stages 2-3 ride the lattice bound, not
+# the data. At planet scale with a finer grid you'd collect the <= 2*ny
+# extremes and run one monotone-chain pass driver-side; the declarative
+# O(n^3) form is kept because it is tiny AND oracle-expressible.
+HULL_TILE_M = 5_000.0  # same 5 km raster as focal_stats
+
+
+def hull_of_cells(cells: DataFrame) -> DataFrame:
+    """Hull-boundary row-extreme cells of a (tx, ty, cnt) lattice raster
+    (semantics in the module comment above). Pure integer arithmetic."""
+    ext = cells.groupBy("ty").agg(
+        F.min("tx").alias("lo"), F.max("tx").alias("hi")
+    )
+    pts = (
+        ext.select("ty", F.col("lo").alias("tx"))
+        .union(ext.select("ty", F.col("hi").alias("tx")))
+        .distinct()
+    )
+    p = pts.select(F.col("tx").alias("px"), F.col("ty").alias("py"))
+    q = pts.select(F.col("tx").alias("qx"), F.col("ty").alias("qy"))
+    r = pts.select(F.col("tx").alias("rx"), F.col("ty").alias("ry"))
+    pairs = p.crossJoin(q).where(
+        (F.col("px") != F.col("qx")) | (F.col("py") != F.col("qy"))
+    )
+    cross = (F.col("qx") - F.col("px")) * (F.col("ry") - F.col("py")) - (
+        F.col("qy") - F.col("py")
+    ) * (F.col("rx") - F.col("px"))
+    hull = (
+        pairs.crossJoin(r)
+        .groupBy("px", "py", "qx", "qy")
+        .agg(F.min(cross).alias("mn"))
+        .where(F.col("mn") >= 0)
+        .select(F.col("px").alias("tx"), F.col("py").alias("ty"))
+        .distinct()
+    )
+    return hull.join(cells.hint("shuffle_hash"), ["tx", "ty"]).select(
+        "tx", "ty", "cnt"
+    )
+
+
+def q_hull_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cells import TileGrid
+
+    grid = TileGrid(tile_m=HULL_TILE_M)
+    img = base.images_df(spark, sf_dir)
+    cells = (
+        img.select(
+            grid.tile_x(F.col("lon")).alias("tx"),
+            grid.tile_y(F.col("lat")).alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return hull_of_cells(cells)
+
+
+def _sql_hull_cells() -> str:
+    from ..functions.geo import dlit as _dlit
+    from ..functions.geo import mercator_x_sql, mercator_y_sql
+
+    size = _dlit(HULL_TILE_M)
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        "cells AS (SELECT"
+        f" CAST(floor(({mercator_x_sql('lon')}) / {size}) AS BIGINT) AS tx,"
+        f" CAST(floor(({mercator_y_sql('lat')}) / {size}) AS BIGINT) AS ty,"
+        " count(*) AS cnt FROM img GROUP BY 1, 2), "
+        "ext AS (SELECT ty, min(tx) AS lo, max(tx) AS hi"
+        " FROM cells GROUP BY ty), "
+        "pts AS (SELECT ty, lo AS tx FROM ext"
+        " UNION SELECT ty, hi AS tx FROM ext), "
+        "mins AS (SELECT p.tx AS px, p.ty AS py, q.tx AS qx, q.ty AS qy,"
+        " min((q.tx - p.tx) * (r.ty - p.ty)"
+        "   - (q.ty - p.ty) * (r.tx - p.tx)) AS mn"
+        " FROM pts p JOIN pts q"
+        "  ON (p.tx <> q.tx OR p.ty <> q.ty), pts r"
+        " GROUP BY 1, 2, 3, 4), "
+        "hull AS (SELECT DISTINCT px AS tx, py AS ty"
+        " FROM mins WHERE mn >= 0) "
+        "SELECT tx, ty, cnt FROM hull JOIN cells USING (tx, ty)"
+    )
+
+
+QUERIES["hull_cells"] = (q_hull_cells, _sql_hull_cells())
