@@ -363,3 +363,206 @@ def _sql_hull_cells() -> str:
 
 
 QUERIES["hull_cells"] = (q_hull_cells, _sql_hull_cells())
+
+
+# ---------------------------------------------------------------------------
+# way_stitch — endpoint-snapped way stitching into maximal chains
+# ---------------------------------------------------------------------------
+# The OSM route-assembly primitive the reference's per-way conflation stops
+# short of: imported road layers arrive as fragmented segments (per-tile
+# clips, per-survey traces); navigation/QA wants the MAXIMAL CHAINS — the
+# connected components of the "shares a snapped endpoint" graph — with per-
+# chain size and length. Reference scope: osm-merge merges ways one at a
+# time and never re-assembles the merged layer's topology.
+#
+# Spark-first shape (stitch_chains):
+#   - each segment emits its two endpoint NODE KEYS (coordinates quantized
+#     to a 1e-4-degree lattice — GPS-snap tolerance);
+#   - per node, a hub = min(seg_id) and STAR EDGES (seg -> hub): a node
+#     shared by d segments contributes d-1 edges, never the d^2/2 clique —
+#     the skew-proof construction for terminal nodes shared by many ways;
+#   - operators/components.connected_components (neighbor-min + pointer
+#     jumping, O(log diameter) rounds) labels each segment; singleton
+#     segments re-attach by left join + coalesce (their chain is themselves).
+# At 10^12 segments every round is one shuffle on seg/node ids; nothing is
+# collected or crossed.
+#
+# Fixture (planted, SQL-replayable): per supplier s, M=6 consecutive
+# segments along a polyline over integer node ids nid(s, j) = s*32 + j;
+#   - every s % 3 == 0 chain has a GAP at j=3 (segment 3 starts at a fresh
+#     node id) -> the chain must split into two components;
+#   - every s % 5 == 0 (s > 5) chain STARTS at chain (s-5)'s last node ->
+#     consecutive s ≡ 0 (mod 5) chains MERGE into one long component (the
+#     pointer-jumping depth test);
+# node coords are pure integer-hash lattice points (no collisions below
+# nid 618k = lcm(1009, 613), far above any sf's max id), so quantization
+# recovers exactly the planted node ids.
+WS_Q = 10_000.0        # 1e-4 deg snap lattice
+WS_M = 6               # segments per supplier chain
+_WS_E6 = 1_000_000.0
+
+
+def _ws_lon(nid: F.Column) -> F.Column:
+    return F.lit(base.LON_MIN) + (nid % F.lit(1009)).cast("double") * F.lit(9e-4)
+
+
+def _ws_lat(nid: F.Column) -> F.Column:
+    return F.lit(base.LAT_MIN) + (
+        (nid * F.lit(7)) % F.lit(613)
+    ).cast("double") * F.lit(9e-4)
+
+
+def _ws_lon_sql(nid: str) -> str:
+    return (
+        f"({geo.dlit(base.LON_MIN)} + CAST(({nid}) % 1009 AS DOUBLE)"
+        f" * {geo.dlit(9e-4)})"
+    )
+
+
+def _ws_lat_sql(nid: str) -> str:
+    return (
+        f"({geo.dlit(base.LAT_MIN)} + CAST((({nid}) * 7) % 613 AS DOUBLE)"
+        f" * {geo.dlit(9e-4)})"
+    )
+
+
+def route_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted route-segment fixture: (seg_id, ax, ay, bx, by, len_e6)."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    s = F.col("s_suppkey").cast("long")
+    segs = sup.select(
+        s.alias("s"),
+        F.explode(F.array(*[F.lit(j) for j in range(WS_M)])).alias("j"),
+    )
+    j = F.col("j").cast("long")
+    start_default = F.col("s") * 32 + j
+    # chain merge: s % 5 == 0 (s > 5) starts at chain (s-5)'s last node
+    a_nid = F.when(
+        (j == 0) & (F.col("s") % 5 == 0) & (F.col("s") > 5),
+        (F.col("s") - 5) * 32 + F.lit(WS_M),
+    ).when(
+        # chain gap: s % 3 == 0 splits before segment 3 (fresh start node)
+        (j == 3) & (F.col("s") % 3 == 0),
+        F.col("s") * 32 + 16 + j,
+    ).otherwise(start_default)
+    b_nid = F.col("s") * 32 + j + 1
+    out = segs.select(
+        (F.col("s") * 8 + j).alias("seg_id"),
+        _ws_lon(a_nid).alias("ax"),
+        _ws_lat(a_nid).alias("ay"),
+        _ws_lon(b_nid).alias("bx"),
+        _ws_lat(b_nid).alias("by"),
+    )
+    ln = F.sqrt(
+        (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+        + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay"))
+    )
+    return out.withColumn(
+        "len_e6", F.floor(ln * F.lit(_WS_E6)).cast("long")
+    )
+
+
+def stitch_chains(segs: DataFrame, quant: float = WS_Q) -> DataFrame:
+    """Label every segment with its chain id (min seg_id of the connected
+    component of the shares-a-snapped-endpoint graph).
+
+    Input: (seg_id, ax, ay, bx, by). Output: (seg_id, chain_id) — every
+    input segment appears exactly once (singletons are their own chain).
+    """
+    from ..operators.components import connected_components
+
+    q = F.lit(quant)
+    ends = segs.select(
+        "seg_id",
+        F.floor(F.col("ax") * q).cast("long").alias("nx"),
+        F.floor(F.col("ay") * q).cast("long").alias("ny"),
+    ).union(
+        segs.select(
+            "seg_id",
+            F.floor(F.col("bx") * q).cast("long").alias("nx"),
+            F.floor(F.col("by") * q).cast("long").alias("ny"),
+        )
+    )
+    hubs = ends.groupBy("nx", "ny").agg(F.min("seg_id").alias("hub"))
+    edges = (
+        ends.join(hubs.hint("shuffle_hash"), ["nx", "ny"])
+        .where(F.col("seg_id") != F.col("hub"))
+        .select(F.col("seg_id").alias("d1"), F.col("hub").alias("d2"))
+        .distinct()
+    )
+    cc = connected_components(edges)
+    return (
+        segs.select("seg_id")
+        .join(
+            cc.withColumnRenamed("doc", "seg_id").hint("shuffle_hash"),
+            "seg_id",
+            "left",
+        )
+        .select(
+            "seg_id",
+            F.coalesce(F.col("cluster_id"), F.col("seg_id")).alias("chain_id"),
+        )
+    )
+
+
+def q_way_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = route_segments(spark, sf_dir)
+    chains = stitch_chains(segs)
+    return (
+        chains.join(segs.hint("shuffle_hash"), "seg_id")
+        .groupBy("chain_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum("len_e6").alias("chain_len_e6"),
+        )
+    )
+
+
+def _sql_way_stitch() -> str:
+    e6 = geo.dlit(_WS_E6)
+    q = geo.dlit(WS_Q)
+
+    def _floor(expr: str) -> str:
+        return f"CAST(floor({expr} * {q}) AS BIGINT)"
+
+    a_nid = (
+        "(CASE WHEN j = 0 AND s % 5 = 0 AND s > 5 THEN (s - 5) * 32 + "
+        f"{WS_M} WHEN j = 3 AND s % 3 = 0 THEN s * 32 + 16 + j"
+        " ELSE s * 32 + j END)"
+    )
+    b_nid = "(s * 32 + j + 1)"
+    return (
+        "WITH RECURSIVE segs0 AS ("
+        " SELECT CAST(s_suppkey AS BIGINT) AS s,"
+        f" CAST(unnest(range(0, {WS_M})) AS BIGINT) AS j FROM supplier), "
+        "segs AS (SELECT s * 8 + j AS seg_id,"
+        f" {_ws_lon_sql(a_nid)} AS ax, {_ws_lat_sql(a_nid)} AS ay,"
+        f" {_ws_lon_sql(b_nid)} AS bx, {_ws_lat_sql(b_nid)} AS by"
+        " FROM segs0), "
+        "lens AS (SELECT seg_id, CAST(floor(sqrt((bx - ax) * (bx - ax)"
+        f" + (by - ay) * (by - ay)) * {e6}) AS BIGINT) AS len_e6"
+        " FROM segs), "
+        "ends AS ("
+        f" SELECT seg_id, {_floor('ax')} AS nx, {_floor('ay')} AS ny FROM segs"
+        " UNION ALL"
+        f" SELECT seg_id, {_floor('bx')} AS nx, {_floor('by')} AS ny"
+        " FROM segs), "
+        "hubs AS (SELECT nx, ny, min(seg_id) AS hub"
+        " FROM ends GROUP BY nx, ny), "
+        "edges AS (SELECT DISTINCT e.seg_id AS a, h.hub AS b FROM ends e"
+        " JOIN hubs h USING (nx, ny) WHERE e.seg_id <> h.hub), "
+        "sym AS (SELECT a, b FROM edges"
+        " UNION SELECT b AS a, a AS b FROM edges), "
+        "lbl AS ("
+        " SELECT seg_id AS seg, seg_id AS lab FROM segs"
+        " UNION"
+        " SELECT s.b AS seg, l.lab FROM lbl l JOIN sym s ON s.a = l.seg), "
+        "chains AS (SELECT seg, min(lab) AS chain_id FROM lbl GROUP BY seg) "
+        "SELECT chain_id, count(*) AS n_segs,"
+        " CAST(sum(len_e6) AS BIGINT) AS chain_len_e6"
+        " FROM chains c JOIN lens ON c.seg = lens.seg_id"
+        " GROUP BY chain_id"
+    )
+
+
+QUERIES["way_stitch"] = (q_way_stitch, _sql_way_stitch())
