@@ -1077,3 +1077,100 @@ def _sql_image_patches() -> str:
 
 
 QUERIES["image_patches"] = (q_image_patches, _sql_image_patches())
+
+
+# ---------------------------------------------------------------------------
+# tile_luma_hist — per-tile luma HISTOGRAM over real decoded pixels
+# ---------------------------------------------------------------------------
+# tile_image_stats proves channel SUMS survive the encode→decode ladder;
+# this proves a weighted per-pixel TRANSFORM does: integer Rec.601 luma
+# ((77 r + 150 g + 29 b) >> 8 — the JFIF/ITU fixed-point form) binned into
+# four brightness quartiles and rolled up per map tile. The exposure/
+# contrast audit a capture campaign runs per region (night/overexposed
+# tiles), and the shape a dataset-curation gate consumes (histogram
+# pruning). All arithmetic is integer, so both engines are exact; the
+# DuckDB oracle replays splitmix64 + the QNT dequantization AND the luma
+# fixed-point form per pixel — a cross-byte (3-bytes-per-pixel) recombination
+# the channel-sum oracle never exercises.
+#
+# 100 TB story: pixels reduce to four longs per image inside mapInPandas
+# (bytes never shuffle); the tile rollup rides slim (tile_id, h0..h3) rows
+# with map-side combine — same cost class as tile_image_stats.
+
+
+def _decode_luma_hist(images: DataFrame) -> DataFrame:
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        from ..data import images as codec
+
+        for pdf in batches:
+            out = {"image_id": [], "h0": [], "h1": [], "h2": [], "h3": []}
+            for iid, buf, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                     pdf["fmt"]):
+                px = codec.decode(bytes(buf), fmt).astype(np.int64)
+                flat = px.reshape(-1, 3)
+                luma = (77 * flat[:, 0] + 150 * flat[:, 1]
+                        + 29 * flat[:, 2]) >> 8
+                counts = np.bincount(luma >> 6, minlength=4)
+                out["image_id"].append(iid)
+                for b in range(4):
+                    out[f"h{b}"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema="image_id string, h0 long, h1 long, h2 long, h3 long"
+    )
+
+
+def q_tile_luma_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..data import synth
+
+    img = synth.synth_images(spark, TIS_N, with_bytes=True)
+    hist = _decode_luma_hist(img)
+    grid = TileGrid(tile_m=TIS_TILE_M)
+    keyed = img.select(
+        "image_id", grid.tile_id(F.col("lon"), F.col("lat")).alias("tile_id")
+    ).join(hist, "image_id")
+    return keyed.groupBy("tile_id").agg(
+        F.count("*").alias("n_images"),
+        F.sum("h0").alias("lum_q0"),
+        F.sum("h1").alias("lum_q1"),
+        F.sum("h2").alias("lum_q2"),
+        F.sum("h3").alias("lum_q3"),
+    )
+
+
+def _sql_tile_luma_hist() -> str:
+    grid = TileGrid(tile_m=TIS_TILE_M)
+    tile = grid.tile_id_sql("lon", "lat")
+    return (
+        f"WITH imgs AS (SELECT CAST(i AS BIGINT) AS i"
+        f" FROM range({TIS_N}) t(i)), "
+        f"{_decoded_bytes_cte()}, "
+        # recombine the 3 bytes of pixel q = p//3 into fixed-point luma
+        "lum AS (SELECT i, p // 3 AS q,"
+        " CAST(sum(CASE WHEN p % 3 = 0 THEN 77 * dv"
+        "              WHEN p % 3 = 1 THEN 150 * dv"
+        "              ELSE 29 * dv END) // 256 AS BIGINT) AS luma"
+        " FROM dec GROUP BY i, p // 3), "
+        "hist AS (SELECT i,"
+        " count(*) FILTER (luma // 64 = 0) AS h0,"
+        " count(*) FILTER (luma // 64 = 1) AS h1,"
+        " count(*) FILTER (luma // 64 = 2) AS h2,"
+        " count(*) FILTER (luma // 64 = 3) AS h3"
+        " FROM lum GROUP BY i), "
+        f"pos AS ({_synth_pos_sql(TIS_N)}), "
+        f"tiled AS (SELECT i, {tile} AS tile_id FROM pos) "
+        "SELECT tile_id, count(*) AS n_images,"
+        " CAST(sum(h0) AS BIGINT) AS lum_q0,"
+        " CAST(sum(h1) AS BIGINT) AS lum_q1,"
+        " CAST(sum(h2) AS BIGINT) AS lum_q2,"
+        " CAST(sum(h3) AS BIGINT) AS lum_q3"
+        " FROM tiled JOIN hist USING (i) GROUP BY tile_id"
+    )
+
+
+QUERIES["tile_luma_hist"] = (q_tile_luma_hist, _sql_tile_luma_hist())

@@ -144,3 +144,42 @@ def test_image_patches_conserve_channel_sums(spark):
     for r in per_img:
         assert r["n"] == expect_n
         assert (r["sr"], r["sg"], r["sb"]) == whole[r["image_id"]]
+
+
+def test_tile_luma_hist_matches_numpy_and_conserves_pixels(spark):
+    """Per-tile luma histogram: equals a local decode + Rec.601 fixed-point
+    binning of the same corpus, and the four bins conserve the pixel count
+    (sum == n_images * w * h per tile)."""
+    import numpy as np
+
+    from osm_merge_spark.data import images as codec, synth
+    from osm_merge_spark.functions.cells import TileGrid
+    from osm_merge_spark.operators import tiles as tile_ops
+    from osm_merge_spark.queries.geo5 import (
+        TIS_N, TIS_TILE_M, q_tile_luma_hist,
+    )
+
+    got = {r["tile_id"]: r for r in q_tile_luma_hist(spark, "").collect()}
+
+    tg = TileGrid(tile_m=TIS_TILE_M)
+    local = tile_ops.assign_tiles(
+        synth.synth_images(spark, TIS_N), tg
+    ).select("i", "w", "h", "fmt", "tile_id").collect()
+    agg: dict = {}
+    for r in local:
+        px = codec.pixels_for_seed(int(r["i"]), r["w"], r["h"])
+        if r["fmt"] == "qnt":
+            px = codec.decode(codec.encode(px, "qnt"), "qnt")
+        flat = px.astype(np.int64).reshape(-1, 3)
+        luma = (77 * flat[:, 0] + 150 * flat[:, 1] + 29 * flat[:, 2]) >> 8
+        h = np.bincount(luma >> 6, minlength=4)
+        a = agg.setdefault(r["tile_id"], np.zeros(5, dtype=np.int64))
+        a[0] += 1
+        a[1:] += h
+    assert set(got) == set(agg)
+    for tid, a in agg.items():
+        row = got[tid]
+        assert row["n_images"] == a[0]
+        bins = [row["lum_q0"], row["lum_q1"], row["lum_q2"], row["lum_q3"]]
+        assert bins == list(a[1:])
+        assert sum(bins) == a[0] * 16 * 16
