@@ -196,3 +196,98 @@ def _sql_graph_clustering() -> str:
 
 
 QUERIES["graph_clustering"] = (q_graph_clustering, _sql_graph_clustering())
+
+# ---------------------------------------------------------------------------
+# sssp_bounded — hop-bounded WEIGHTED shortest path (Bellman-Ford rounds)
+# ---------------------------------------------------------------------------
+# The weighted twin of khop_reach: min-cost over walks of ≤ K edges from the
+# seed set (travel-time service areas over the road graph, where khop_reach
+# only counts hops). Weights are deterministic ints (1 + (src+dst) % 7) so
+# both engines are integer-exact end to end.
+#
+# Scale shape: K static Bellman-Ford relaxation rounds as ONE lazy plan.
+# Round d's frontier holds min cost over walks of EXACTLY d edges — a
+# (d+1)-walk decomposes into a d-walk plus one edge, so taking the per-node
+# min before extending preserves the global min (the hash agg after each
+# expansion is the map-side-combining compaction that keeps the frontier at
+# ≤ |V| rows instead of walk-enumeration blowup — the thing the naive
+# recursive-CTE oracle does NOT do, which is why the oracle is the slow
+# twin). Frontier ⋈ edges is shuffled-hash both sides (frontier is
+# corpus-sized at a 10^12-edge layer: nothing broadcasts, nothing sorts);
+# the final answer is one more hash-agg min across the K+1 round tables.
+SSSP_K = 3
+
+
+def sssp_bounded(edges: DataFrame, seeds: DataFrame,
+                 k: int = SSSP_K) -> DataFrame:
+    """edges: (src, dst, w int) directed rows (pass both directions for an
+    undirected graph); seeds: (node_id). Returns (node_id, dist long) =
+    min total weight over walks from any seed using ≤ k edges."""
+    dist = seeds.select("node_id", F.lit(0).cast("long").alias("dist"))
+    frontier = dist
+    out = dist
+    for d in range(1, k + 1):
+        fr = frontier.hint("shuffle_hash").alias(f"f{d}")
+        ed = edges.alias(f"e{d}")
+        frontier = (
+            fr.join(ed.hint("shuffle_hash"),
+                    F.col(f"f{d}.node_id") == F.col(f"e{d}.src"))
+            .select(
+                F.col(f"e{d}.dst").alias("node_id"),
+                (F.col(f"f{d}.dist")
+                 + F.col(f"e{d}.w").cast("long")).alias("dist"),
+            )
+            .groupBy("node_id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        out = out.unionByName(frontier)
+    return out.groupBy("node_id").agg(F.min("dist").alias("dist"))
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cooccur_edges(spark, sf_dir).withColumn(
+        "w", (F.lit(1) + (F.col("src") + F.col("dst")) % F.lit(7)).cast("int")
+    )
+
+
+def q_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where((F.col("p_partkey") % F.lit(KHOP_SEED_MOD)) == F.lit(0))
+        .select(F.col("p_partkey").alias("node_id"))
+    )
+    return sssp_bounded(_weighted_edges(spark, sf_dir), seeds, SSSP_K)
+
+
+def _sql_sssp_bounded() -> str:
+    # UNION (not UNION ALL) keeps the walk enumeration bounded: distinct
+    # (node, dist, hops) is at most |V| × (7K+1) × (K+1) rows.
+    return (
+        "WITH RECURSIVE li AS ("
+        " SELECT l_orderkey, l_linenumber, min(l_partkey) AS pk"
+        " FROM lineitem GROUP BY 1, 2), "
+        "pairs AS ("
+        " SELECT lag(pk) OVER (PARTITION BY l_orderkey"
+        "  ORDER BY l_linenumber) AS a, pk AS b FROM li), "
+        "edges0 AS ("
+        " SELECT a AS src, b AS dst FROM pairs"
+        "  WHERE a IS NOT NULL AND a <> b"
+        " UNION"
+        " SELECT b AS src, a AS dst FROM pairs"
+        "  WHERE a IS NOT NULL AND a <> b), "
+        "edges AS (SELECT src, dst,"
+        " CAST(1 + (src + dst) % 7 AS INT) AS w FROM edges0), "
+        "seeds AS (SELECT p_partkey AS node_id FROM part"
+        f" WHERE p_partkey % {KHOP_SEED_MOD} = 0), "
+        "r(node_id, dist, hops) AS ("
+        " SELECT node_id, CAST(0 AS BIGINT), 0 FROM seeds"
+        " UNION"
+        " SELECT e.dst, r.dist + e.w, r.hops + 1"
+        " FROM r JOIN edges e ON e.src = r.node_id"
+        f" WHERE r.hops < {SSSP_K}) "
+        "SELECT node_id, CAST(min(dist) AS BIGINT) AS dist"
+        " FROM r GROUP BY node_id"
+    )
+
+
+QUERIES["sssp_bounded"] = (q_sssp_bounded, _sql_sssp_bounded())

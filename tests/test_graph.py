@@ -59,3 +59,48 @@ def test_graph_clustering_planted_triangle_and_square(spark):
         1: (2, 1), 2: (2, 1), 3: (2, 1),
         10: (2, 0), 11: (2, 0), 12: (2, 0), 13: (2, 0),
     }
+
+
+def _wg(spark, edges, seeds):
+    """Directed weighted edges as given (no symmetrization)."""
+    e = spark.createDataFrame(edges, ["src", "dst", "w"])
+    s = spark.createDataFrame([(x,) for x in seeds], ["node_id"])
+    return e, s
+
+
+def test_sssp_cheap_long_path_beats_expensive_edge(spark):
+    # 1→3 direct costs 10; 1→2→3 costs 2 — Bellman-Ford must take the
+    # 2-edge walk even though BFS hop count prefers the direct edge
+    from osm_merge_spark.queries.graph import sssp_bounded
+
+    edges, seeds = _wg(spark, [(1, 3, 10), (1, 2, 1), (2, 3, 1)], [1])
+    out = {r.node_id: r.dist for r in sssp_bounded(edges, seeds, k=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_sssp_hop_bound_cuts_cheaper_but_longer_walk(spark):
+    # within k=2 the 5-cost 2-edge walk wins; the 3-cost walk needs 3 edges
+    from osm_merge_spark.queries.graph import sssp_bounded
+
+    edges, seeds = _wg(
+        spark,
+        [(1, 2, 4), (2, 5, 1), (1, 3, 1), (3, 4, 1), (4, 5, 1)],
+        [1],
+    )
+    k2 = {r.node_id: r.dist for r in sssp_bounded(edges, seeds, k=2).collect()}
+    assert k2[5] == 5
+    k3 = {r.node_id: r.dist for r in sssp_bounded(edges, seeds, k=3).collect()}
+    assert k3[5] == 3
+
+
+def test_sssp_multi_seed_min_and_lazy_plan(spark):
+    from osm_merge_spark.queries.graph import sssp_bounded
+
+    edges, seeds = _wg(spark, [(0, 1, 7), (9, 1, 2)], [0, 9])
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = sssp_bounded(edges, seeds, k=2)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert before == after
+    out = {r.node_id: r.dist for r in df.collect()}
+    assert out == {0: 0, 9: 0, 1: 2}
