@@ -566,3 +566,136 @@ def _sql_way_stitch() -> str:
 
 
 QUERIES["way_stitch"] = (q_way_stitch, _sql_way_stitch())
+
+
+# ---------------------------------------------------------------------------
+# quadtree_split — adaptive task splitting over the capture grid
+# ---------------------------------------------------------------------------
+# The reference's task splitter cuts the AOI into FIXED 50 km squares
+# (tm-splitter.py:103-113,225-226) — which leaves dense urban tiles with
+# 100× the work of empty desert ones. The standard fix (HOT's own task
+# managers use it) is a quadtree: split any tile whose feature count
+# exceeds a budget into its 4 children, to a bounded depth. Output = one
+# row per LEAF cell: a balanced work manifest for the per-tile task sink.
+#
+# Scale shape: counts are computed ONCE at the finest level (the only
+# corpus-scale shuffle — same cost as tile_assign), then rolled up level
+# by level with floor(x/2) key arithmetic over the raster-sized table
+# (bounded by AOI area / finest tile area, NOT corpus rows — broadcast by
+# construction, here just tiny hash aggs). Child counts are monotone ≤
+# parent counts, so the unique leaf on each root→finest chain is the FIRST
+# level with count ≤ budget (or the finest level): leaf-ness needs only
+# the IMMEDIATE parent's count (> budget ⟹ all ancestors > budget).
+# D static rollups, one lazy plan, no driver actions, no UDFs.
+QT_BASE_M = 25_600.0   # root tile size (level 0)
+QT_DEPTH = 3           # finest level: 3 200 m tiles
+QT_BUDGET = 400        # max images per task
+
+
+def quadtree_split(pts: DataFrame, lon: str = "lon", lat: str = "lat",
+                   base_m: float = QT_BASE_M, depth: int = QT_DEPTH,
+                   budget: int = QT_BUDGET) -> DataFrame:
+    """(lon, lat) rows → leaf cells (level, qx, qy, n) of the quadtree
+    whose root grid is base_m metres, split while count > budget, to
+    `depth` levels. Only non-empty cells are emitted (empty areas get no
+    tasks; coverage holes are tile_gaps' job)."""
+    fine_m = base_m / (2 ** depth)
+    finest = (
+        pts.select(
+            F.floor(geo.mercator_x(F.col(lon)) / F.lit(fine_m)).alias("qx"),
+            F.floor(geo.mercator_y(F.col(lat)) / F.lit(fine_m)).alias("qy"),
+        )
+        .groupBy("qx", "qy")
+        .agg(F.count("*").alias("n"))
+    )
+    # every level (and every union branch below) derives from this one
+    # raster-sized table — persist it so the corpus-scale shuffle runs
+    # once, not once per branch (lazy: no driver action is triggered)
+    try:
+        finest = finest.persist()
+    except Exception:
+        pass
+    counts = {depth: finest}
+    for lvl in range(depth - 1, -1, -1):
+        c = counts[lvl + 1]
+        counts[lvl] = (
+            c.select(
+                F.floor(F.col("qx") / F.lit(2.0)).cast("long").alias("qx"),
+                F.floor(F.col("qy") / F.lit(2.0)).cast("long").alias("qy"),
+                "n",
+            )
+            .groupBy("qx", "qy")
+            .agg(F.sum("n").alias("n"))
+        )
+    leaves = []
+    for lvl in range(depth + 1):
+        c = counts[lvl]
+        if lvl == 0:
+            keep = c.where(F.col("n") <= F.lit(budget))
+        else:
+            par = counts[lvl - 1].select(
+                F.col("qx").alias("px"), F.col("qy").alias("py"),
+                F.col("n").alias("pn"),
+            )
+            keep = (
+                c.withColumns({
+                    "px": F.floor(F.col("qx") / F.lit(2.0)).cast("long"),
+                    "py": F.floor(F.col("qy") / F.lit(2.0)).cast("long"),
+                })
+                .join(F.broadcast(par), ["px", "py"])
+                .where(F.col("pn") > F.lit(budget))
+            )
+            if lvl < depth:
+                keep = keep.where(F.col("n") <= F.lit(budget))
+        leaves.append(
+            keep.select(
+                F.lit(lvl).cast("int").alias("level"),
+                F.col("qx").cast("long").alias("qx"),
+                F.col("qy").cast("long").alias("qy"),
+                F.col("n").cast("long").alias("n_images"),
+            )
+        )
+    out = leaves[0]
+    for df in leaves[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def q_quadtree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quadtree_split(base.images_df(spark, sf_dir))
+
+
+def _sql_quadtree_split() -> str:
+    fine = geo.dlit(QT_BASE_M / (2 ** QT_DEPTH))
+    ctes = [
+        f"img AS ({base.IMAGES_SQL})",
+        f"c{QT_DEPTH} AS (SELECT"
+        f" CAST(floor(({geo.mercator_x_sql('lon')}) / {fine}) AS BIGINT) AS qx,"
+        f" CAST(floor(({geo.mercator_y_sql('lat')}) / {fine}) AS BIGINT) AS qy,"
+        f" count(*) AS n FROM img GROUP BY 1, 2)",
+    ]
+    for lvl in range(QT_DEPTH - 1, -1, -1):
+        ctes.append(
+            f"c{lvl} AS (SELECT"
+            f" CAST(floor(qx / 2.0) AS BIGINT) AS qx,"
+            f" CAST(floor(qy / 2.0) AS BIGINT) AS qy,"
+            f" sum(n) AS n FROM c{lvl + 1} GROUP BY 1, 2)"
+        )
+    parts = [
+        f"SELECT CAST(0 AS INT) AS level, qx, qy,"
+        f" CAST(n AS BIGINT) AS n_images FROM c0 WHERE n <= {QT_BUDGET}"
+    ]
+    for lvl in range(1, QT_DEPTH + 1):
+        leaf = (f"c.n <= {QT_BUDGET}" if lvl < QT_DEPTH else "TRUE")
+        parts.append(
+            f"SELECT CAST({lvl} AS INT) AS level, c.qx, c.qy,"
+            f" CAST(c.n AS BIGINT) AS n_images"
+            f" FROM c{lvl} c JOIN c{lvl - 1} p"
+            f" ON p.qx = CAST(floor(c.qx / 2.0) AS BIGINT)"
+            f" AND p.qy = CAST(floor(c.qy / 2.0) AS BIGINT)"
+            f" WHERE p.n > {QT_BUDGET} AND ({leaf})"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
+
+
+QUERIES["quadtree_split"] = (q_quadtree_split, _sql_quadtree_split())

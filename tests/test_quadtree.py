@@ -1,0 +1,63 @@
+"""Planted-truth tests for quadtree_split (queries/geo7.py)."""
+
+from pyspark.sql import functions as F
+
+from osm_merge_spark.queries.geo7 import quadtree_split
+
+
+def _pts(spark, coords):
+    return spark.createDataFrame(coords, ["lon", "lat"])
+
+
+def test_dense_clump_splits_sparse_cell_does_not(spark):
+    # 9 near-identical points (one finest cell) + 1 lone point far away:
+    # the clump's chain must split to the finest level, the lone point's
+    # root cell stays a level-0 leaf.
+    clump = [(-108.30 + i * 1e-6, 43.50) for i in range(9)]
+    lone = [(-109.10, 43.90)]
+    out = quadtree_split(
+        _pts(spark, clump + lone), base_m=25_600.0, depth=2, budget=4
+    ).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r.level, []).append(r)
+    # lone point: a level-0 leaf with exactly 1 image
+    assert any(r.n_images == 1 for r in by_level.get(0, []))
+    # clump: count > budget at every coarser level, so it lands at depth
+    deepest = [r for r in by_level.get(2, [])]
+    assert sum(r.n_images for r in deepest) == 9
+    # conservation: every input point in exactly one leaf
+    assert sum(r.n_images for r in out) == 10
+
+
+def test_budget_respected_above_finest_level(spark):
+    # leaves at levels < depth must hold ≤ budget points; the finest level
+    # may exceed it (depth bound wins)
+    clump = [(-108.30 + i * 1e-6, 43.50) for i in range(9)]
+    out = quadtree_split(
+        _pts(spark, clump), base_m=25_600.0, depth=2, budget=4
+    ).collect()
+    for r in out:
+        if r.level < 2:
+            assert r.n_images <= 4
+
+
+def test_leaves_tile_disjointly(spark):
+    # no leaf is an ancestor of another leaf: for every pair at levels
+    # l1 < l2, the shallower cell is NOT the deeper cell's ancestor
+    coords = [(-108.30 + i * 7e-4, 43.50 + (i % 5) * 4e-4) for i in range(40)]
+    out = quadtree_split(
+        _pts(spark, coords), base_m=25_600.0, depth=3, budget=6
+    ).collect()
+    cells = [(r.level, r.qx, r.qy) for r in out]
+    assert len(cells) == len(set(cells))
+    for l1, x1, y1 in cells:
+        for l2, x2, y2 in cells:
+            if l1 < l2:
+                shift = 2 ** (l2 - l1)
+                # python // floors toward -inf — matches the engine
+                anc = (x2 // shift, y2 // shift)
+                assert not (anc == (x1, y1)), (
+                    f"leaf {(l1, x1, y1)} is an ancestor of {(l2, x2, y2)}"
+                )
+    assert sum(r.n_images for r in out) == 40
