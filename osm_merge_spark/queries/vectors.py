@@ -769,3 +769,89 @@ def _sql_ivf_recall() -> str:
 
 
 QUERIES["ivf_recall"] = (q_ivf_recall, _sql_ivf_recall())
+
+
+# ---------------------------------------------------------------------------
+# emb_coherence — per-cluster embedding coherence via the sum identity
+# ---------------------------------------------------------------------------
+# Curation metric behind SemDeDup-style pruning: how self-similar is each
+# label cluster? The naive form is the mean pairwise dot product — O(n²)
+# pairs per cluster. The sum identity kills the quadratic term entirely:
+#
+#     Σ_{i≠j} <v_i, v_j>  =  ||Σ_i v_i||²  −  Σ_i ||v_i||²
+#
+# so ONE hash aggregation per cluster (component-wise sums + per-vector
+# norms) replaces the all-pairs join. A collapsed (near-duplicate) cluster
+# shows pair_dot_q ≈ n(n−1)·||v||²; a diverse one sits near 0.
+#
+# Integer-exact: components quantize to e3 fixed point (float→double
+# widening is exact, one double multiply + floor — both engines identical),
+# then everything is int64 arithmetic. Overflow bound: |c| ≤ ~5e3, so the
+# gram term is ≤ DIM·(5e3·n)² → safe to n ≈ 1.9e8 vectors per cluster; at
+# a larger cluster drop to e2 quantization (n ≈ 1.9e10) — granularity
+# trades against the group-size bound, correctness is unaffected because
+# BOTH engines aggregate the same quantized ints.
+#
+# Scale shape: per-vector work is a codegen array fold (no UDF); the
+# shuffle carries DIM+2 longs per (map task × label), map-side combined.
+# No window, no join except none.
+EMB_Q3 = 1000.0
+
+
+def q_emb_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qv = emb.select(
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda e: F.floor(e.cast("double") * F.lit(EMB_Q3)).cast("long"),
+        ).alias("q"),
+    )
+    per_vec = qv.select(
+        "label",
+        F.col("q"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("norm2"),
+    )
+    sums = [F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(DIM)]
+    agg = per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("norm2").alias("sum_norm2_q"),
+        *sums,
+    )
+    gram = None
+    for i in range(DIM):
+        term = F.col(f"s{i}") * F.col(f"s{i}")
+        gram = term if gram is None else gram + term
+    return agg.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.col("sum_norm2_q").cast("long").alias("sum_norm2_q"),
+        gram.cast("long").alias("gram_q"),
+        (gram - F.col("sum_norm2_q")).cast("long").alias("pair_dot_q"),
+    )
+
+
+def _sql_emb_coherence() -> str:
+    from ..functions.geo import dlit
+
+    q = dlit(EMB_Q3)
+    return (
+        "WITH x AS (SELECT label,"
+        f" CAST(floor(unnest(embedding) * {q}) AS BIGINT) AS c,"
+        " generate_subscripts(embedding, 1) AS k FROM embeddings), "
+        "pc AS (SELECT label, k, sum(c) AS s, sum(c * c) AS ss"
+        " FROM x GROUP BY 1, 2), "
+        "per AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS gram_q,"
+        " CAST(sum(ss) AS BIGINT) AS sum_norm2_q FROM pc GROUP BY 1), "
+        "nn AS (SELECT label, count(*) AS n_vecs FROM embeddings"
+        " GROUP BY 1) "
+        "SELECT CAST(nn.label AS INT) AS label,"
+        " CAST(nn.n_vecs AS BIGINT) AS n_vecs, per.sum_norm2_q, per.gram_q,"
+        " per.gram_q - per.sum_norm2_q AS pair_dot_q"
+        " FROM nn JOIN per ON nn.label = per.label"
+    )
+
+
+QUERIES["emb_coherence"] = (q_emb_coherence, _sql_emb_coherence())
