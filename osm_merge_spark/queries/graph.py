@@ -291,3 +291,70 @@ def _sql_sssp_bounded() -> str:
 
 
 QUERIES["sssp_bounded"] = (q_sssp_bounded, _sql_sssp_bounded())
+
+
+# ---------------------------------------------------------------------------
+# isochrone_cells — cost-bounded service-area raster (sssp × tile grid)
+# ---------------------------------------------------------------------------
+# The graph+geo composition query: which map cells are reachable from the
+# seed set within the hop-bounded cost budget, and at what minimum cost —
+# the isochrone raster a routing/coverage product renders directly. Nodes
+# are layer features (partkeys), whose deterministic positions the layer
+# fixture already SQL-replays; costs come from sssp_bounded.
+#
+# Scale shape: sssp's K static relaxation rounds (see sssp_bounded), then
+# ONE shuffled-hash join of the ≤|V|-row distance table against the layer
+# positions (both corpus-scale at a planet layer: nothing broadcasts),
+# one tile hash-agg. The raster output is bounded by AOI/tile-area.
+ISO_TILE_M = 5_000.0
+
+
+def q_isochrone_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import geo
+    from . import base
+
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where((F.col("p_partkey") % F.lit(KHOP_SEED_MOD)) == F.lit(0))
+        .select(F.col("p_partkey").alias("node_id"))
+    )
+    dist = sssp_bounded(_weighted_edges(spark, sf_dir), seeds, SSSP_K)
+    pos = base.layer_df(spark, sf_dir).select(
+        F.col("feature_id").alias("node_id"), "s_lon", "s_lat"
+    )
+    keyed = dist.join(pos.hint("shuffle_hash"), "node_id").select(
+        F.floor(geo.mercator_x(F.col("s_lon")) / F.lit(ISO_TILE_M))
+        .alias("tx"),
+        F.floor(geo.mercator_y(F.col("s_lat")) / F.lit(ISO_TILE_M))
+        .alias("ty"),
+        "dist",
+    )
+    return keyed.groupBy("tx", "ty").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("dist").alias("min_cost"),
+    )
+
+
+def _sql_isochrone_cells() -> str:
+    from ..functions import geo
+    from . import base
+
+    size = geo.dlit(ISO_TILE_M)
+    sssp = _sql_sssp_bounded()
+    return (
+        f"WITH d AS ({sssp}), "
+        f"pos AS (SELECT p_partkey AS node_id,"
+        f" {base.part_lon_sql('p_partkey')} AS s_lon,"
+        f" {base.part_lat_sql('p_partkey')} AS s_lat FROM part) "
+        f"SELECT CAST(floor(({geo.mercator_x_sql('s_lon')}) / {size})"
+        f" AS BIGINT) AS tx,"
+        f" CAST(floor(({geo.mercator_y_sql('s_lat')}) / {size})"
+        f" AS BIGINT) AS ty,"
+        f" CAST(count(*) AS BIGINT) AS n_nodes,"
+        f" CAST(min(d.dist) AS BIGINT) AS min_cost"
+        f" FROM d JOIN pos ON pos.node_id = d.node_id"
+        f" GROUP BY 1, 2"
+    )
+
+
+QUERIES["isochrone_cells"] = (q_isochrone_cells, _sql_isochrone_cells())

@@ -104,3 +104,20 @@ def test_sssp_multi_seed_min_and_lazy_plan(spark):
     assert before == after
     out = {r.node_id: r.dist for r in df.collect()}
     assert out == {0: 0, 9: 0, 1: 2}
+
+
+def test_isochrone_cells_conservation(spark, sf_dir):
+    # every reachable node lands in exactly one tile; min_cost per tile is
+    # ≤ the cost of any node in it
+    from osm_merge_spark.queries.graph import (
+        SSSP_K, KHOP_SEED_MOD, q_isochrone_cells, q_sssp_bounded,
+    )
+    from pyspark.sql import functions as F
+
+    iso = q_isochrone_cells(spark, sf_dir)
+    reach = q_sssp_bounded(spark, sf_dir)
+    total = iso.agg(F.sum("n_nodes")).collect()[0][0]
+    assert total == reach.count()
+    assert iso.where(F.col("min_cost") < 0).count() == 0
+    # seeds (cost 0) exist, so at least one tile has min_cost == 0
+    assert iso.where(F.col("min_cost") == 0).count() >= 1
