@@ -1016,3 +1016,73 @@ def _sql_coverage_corr() -> str:
 
 
 QUERIES["coverage_corr"] = (q_coverage_corr, _sql_coverage_corr())
+
+
+# ---------------------------------------------------------------------------
+# tile_freshness — imagery currency per map cell
+# ---------------------------------------------------------------------------
+# Coverage exists ≠ coverage is CURRENT: a cell whose newest image predates
+# the cutoff is due for re-capture even if densely covered (the audit that
+# drives street-imagery re-collection planning). Capture date = the parent
+# order's o_orderdate (ikey//8 recovers l_orderkey — the image key is
+# l_orderkey*8 + l_linenumber by construction, base.py).
+#
+# Scale shape: one equi-join images ⋈ orders on the order key
+# (shuffled-hash both sides — both are corpus-scale at a planet archive;
+# the date column is 4 bytes, payloads never ride), then one raster-
+# bounded tile hash-agg (count / max / conditional count, all map-side
+# combined). Dates become integer epoch-days in BOTH engines, so the
+# output is integer-exact.
+FRESH_TILE_M = 5_000.0
+FRESH_CUTOFF = "1995-06-01"
+
+
+def q_tile_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir).select(
+        F.floor(F.col("ikey") / F.lit(8)).cast("long").alias("okey"),
+        "lon", "lat",
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"),
+        F.to_date("o_orderdate").alias("cap_date"),
+    )
+    j = img.join(orders.hint("shuffle_hash"), "okey")
+    keyed = j.select(
+        F.floor(geo.mercator_x(F.col("lon")) / F.lit(FRESH_TILE_M))
+        .alias("tx"),
+        F.floor(geo.mercator_y(F.col("lat")) / F.lit(FRESH_TILE_M))
+        .alias("ty"),
+        "cap_date",
+    )
+    cutoff = F.lit(FRESH_CUTOFF).cast("date")
+    return keyed.groupBy("tx", "ty").agg(
+        F.count("*").alias("n_images"),
+        F.datediff(F.max("cap_date"), F.lit("1970-01-01").cast("date"))
+        .cast("int").alias("latest_epoch_day"),
+        F.sum(F.when(F.col("cap_date") < cutoff, 1).otherwise(0))
+        .cast("long").alias("n_stale"),
+    )
+
+
+def _sql_tile_freshness() -> str:
+    size = geo.dlit(FRESH_TILE_M)
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"j AS (SELECT img.lon, img.lat,"
+        f" CAST(o.o_orderdate AS DATE) AS cap_date"
+        f" FROM img JOIN orders o"
+        f" ON o.o_orderkey = CAST(floor(img.ikey / 8) AS BIGINT)) "
+        f"SELECT CAST(floor(({geo.mercator_x_sql('lon')}) / {size})"
+        f" AS BIGINT) AS tx,"
+        f" CAST(floor(({geo.mercator_y_sql('lat')}) / {size})"
+        f" AS BIGINT) AS ty,"
+        f" CAST(count(*) AS BIGINT) AS n_images,"
+        f" CAST(max(cap_date) - DATE '1970-01-01' AS INT)"
+        f" AS latest_epoch_day,"
+        f" CAST(sum(CASE WHEN cap_date < DATE '{FRESH_CUTOFF}'"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS n_stale"
+        f" FROM j GROUP BY 1, 2"
+    )
+
+
+QUERIES["tile_freshness"] = (q_tile_freshness, _sql_tile_freshness())

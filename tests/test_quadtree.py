@@ -61,3 +61,26 @@ def test_leaves_tile_disjointly(spark):
                     f"leaf {(l1, x1, y1)} is an ancestor of {(l2, x2, y2)}"
                 )
     assert sum(r.n_images for r in out) == 40
+
+
+def test_tile_freshness_planted(spark, sf_dir):
+    # conservation: Σ n_images over tiles == corpus size; n_stale ≤ n_images;
+    # latest_epoch_day falls inside the testdata order-date range
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries.geo6 import q_tile_freshness
+
+    out = q_tile_freshness(spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_images").alias("n"),
+        F.max(F.col("n_stale") > F.col("n_images")).alias("bad"),
+        F.min("latest_epoch_day").alias("lo"),
+        F.max("latest_epoch_day").alias("hi"),
+    ).collect()[0]
+    from osm_merge_spark.queries import base
+
+    n_img = base.images_df(spark, sf_dir).count()
+    assert agg["n"] == n_img
+    assert not agg["bad"]
+    # testdata orders span 1995-01-01 (9131 epoch days) .. 2001-08-01 (11535)
+    assert 9131 <= agg["lo"] <= agg["hi"] <= 11535
