@@ -358,3 +358,127 @@ def _sql_isochrone_cells() -> str:
 
 
 QUERIES["isochrone_cells"] = (q_isochrone_cells, _sql_isochrone_cells())
+
+# ---------------------------------------------------------------------------
+# pagerank_fixed — K-round link analysis in fixed-point integer arithmetic
+# ---------------------------------------------------------------------------
+# The stationary-distribution staple this module's clustering comment calls
+# out as "not oracle-checkable" in floats — made exact by running the whole
+# recurrence in integer pico-units: rank lives as BIGINT (1.0 ≡ 10^12),
+# the damping step is `rank * 85 div (100 * outdeg)` (one integer division
+# per NODE per round, not per edge), and the teleport base is
+# `15 * 10^12 div (100 * N)`. Every operation is closed over int64
+# (max intermediate ≈ 8.5e13), so Spark and DuckDB agree bit-for-bit —
+# float PageRank would diverge in summation order alone.
+#
+# Semantics: K static power-iteration rounds from the uniform vector over
+# the symmetric co-occurrence graph (symmetry ⇒ no dangling nodes, so no
+# dangling-mass term). Floor-division leaks mass (sinks it, deliberately,
+# ~1 pico-unit per node-round) rather than redistributing it — the
+# convention is stated here because both engines must share it.
+#
+# Scale shape: per round, ONE map-side integer division per node (the
+# contribution join rank ⋈ outdeg is keyed by node id), one shuffled-hash
+# join contribution ⋈ edges on src, one hash-agg sum keyed by dst with
+# map-side combine, one left join back to the node set — all equi-joins on
+# the node key, nothing broadcast (the rank vector is |V| rows — corpus-
+# scale at a web graph), no sorts. K rounds compose into ONE lazy plan;
+# at a 10^12-edge layer you'd persist edges+deg once across rounds (here
+# the shared scan does it).
+PR_K = 3
+PR_ONE = 10**12          # fixed-point scale: 1.0 rank unit
+PR_D_NUM, PR_D_DEN = 85, 100   # damping 0.85 as an integer ratio
+
+
+def pagerank_fixed(edges: DataFrame, k: int = PR_K) -> DataFrame:
+    """edges: (src, dst) directed rows with every node appearing as a src
+    (true for symmetrized graphs). Returns (node_id, rank_p) with rank_p in
+    pico-units after k fixed-point power-iteration rounds."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_nodes = deg.select(F.count("*").alias("n"))
+    # teleport base: 0.15/N in pico-units — a 1-row broadcast scalar
+    # `div` is Spark's exact int64 division — the double-`/`-then-cast
+    # spelling can round across an integer boundary near 2^53/den and
+    # diverge from DuckDB's exact `//`
+    base = n_nodes.select(
+        F.expr(f"CAST({15 * PR_ONE} div {PR_D_DEN} div n AS BIGINT)")
+        .alias("base"),
+        F.col("n"),
+    )
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("node_id"),
+        F.expr(f"CAST({PR_ONE} div n AS BIGINT)").alias("rank_p"),
+    )
+    for i in range(1, k + 1):
+        contrib = (
+            ranks.hint("shuffle_hash").alias(f"r{i}")
+            .join(deg.hint("shuffle_hash").alias(f"d{i}"),
+                  F.col(f"r{i}.node_id") == F.col(f"d{i}.src"))
+            .select(
+                F.col(f"d{i}.src").alias("src"),
+                F.expr(
+                    f"CAST(rank_p * {PR_D_NUM}"
+                    f" div ({PR_D_DEN} * outdeg) AS BIGINT)"
+                ).alias("c"),
+            )
+        )
+        inflow = (
+            contrib.join(edges.hint("shuffle_hash").alias(f"e{i}"), "src")
+            .groupBy(F.col(f"e{i}.dst").alias("node_id"))
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            deg.select(F.col("src").alias("node_id"))
+            .join(inflow.hint("shuffle_hash"), "node_id", "left")
+            .crossJoin(F.broadcast(base))
+            .select(
+                "node_id",
+                (F.col("base") + F.coalesce(F.col("inflow"), F.lit(0)))
+                .cast("long").alias("rank_p"),
+            )
+        )
+    return ranks
+
+
+def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank_fixed(_cooccur_edges(spark, sf_dir), PR_K)
+
+
+def _sql_pagerank_fixed() -> str:
+    one, dn, dd = PR_ONE, PR_D_NUM, PR_D_DEN
+    head = (
+        "WITH li AS ("
+        " SELECT l_orderkey, l_linenumber, min(l_partkey) AS pk"
+        " FROM lineitem GROUP BY 1, 2), "
+        "pairs AS ("
+        " SELECT lag(pk) OVER (PARTITION BY l_orderkey"
+        "  ORDER BY l_linenumber) AS a, pk AS b FROM li), "
+        "edges AS ("
+        " SELECT a AS src, b AS dst FROM pairs"
+        "  WHERE a IS NOT NULL AND a <> b"
+        " UNION"
+        " SELECT b AS src, a AS dst FROM pairs"
+        "  WHERE a IS NOT NULL AND a <> b), "
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src), "
+        "nn AS (SELECT count(*) AS n FROM deg), "
+        f"r0 AS (SELECT src AS node_id, CAST({one} // n AS BIGINT)"
+        " AS rank_p FROM deg, nn)"
+    )
+    body = ""
+    for i in range(1, PR_K + 1):
+        body += (
+            f", c{i} AS (SELECT r.node_id AS src,"
+            f" CAST(r.rank_p * {dn} // ({dd} * d.outdeg) AS BIGINT) AS c"
+            f" FROM r{i-1} r JOIN deg d ON d.src = r.node_id)"
+            f", f{i} AS (SELECT e.dst AS node_id, sum(c.c) AS inflow"
+            f" FROM c{i} c JOIN edges e ON e.src = c.src GROUP BY e.dst)"
+            f", r{i} AS (SELECT d.src AS node_id,"
+            f" CAST({15 * one} // {dd} // nn.n"
+            f" + coalesce(f.inflow, 0) AS BIGINT) AS rank_p"
+            f" FROM deg d CROSS JOIN nn"
+            f" LEFT JOIN f{i} f ON f.node_id = d.src)"
+        )
+    return head + body + f" SELECT node_id, rank_p FROM r{PR_K}"
+
+
+QUERIES["pagerank_fixed"] = (q_pagerank_fixed, _sql_pagerank_fixed())

@@ -121,3 +121,50 @@ def test_isochrone_cells_conservation(spark, sf_dir):
     assert iso.where(F.col("min_cost") < 0).count() == 0
     # seeds (cost 0) exist, so at least one tile has min_cost == 0
     assert iso.where(F.col("min_cost") == 0).count() >= 1
+
+
+def _pure_pagerank(edge_list, k):
+    # the same fixed-point recurrence in plain python ints — the strongest
+    # possible check: Spark must match bit-for-bit
+    from osm_merge_spark.queries.graph import PR_D_DEN, PR_D_NUM, PR_ONE
+
+    nodes = sorted({u for u, _ in edge_list})
+    outdeg = {u: 0 for u in nodes}
+    for u, _ in edge_list:
+        outdeg[u] += 1
+    n = len(nodes)
+    rank = {u: PR_ONE // n for u in nodes}
+    base = 15 * PR_ONE // PR_D_DEN // n
+    for _ in range(k):
+        c = {u: rank[u] * PR_D_NUM // (PR_D_DEN * outdeg[u]) for u in nodes}
+        nxt = {u: base for u in nodes}
+        for u, v in edge_list:
+            nxt[v] += c[u]
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_pure_python(spark):
+    from osm_merge_spark.queries.graph import pagerank_fixed
+
+    # asymmetric degrees, a triangle, and a pendant — every node is a src
+    raw = [(0, 1), (1, 2), (2, 0), (0, 2), (1, 3)]
+    und = raw + [(v, u) for u, v in raw]
+    edges = spark.createDataFrame(und, ["src", "dst"])
+    got = {r.node_id: r.rank_p for r in pagerank_fixed(edges, k=3).collect()}
+    assert got == _pure_pagerank(und, 3)
+
+
+def test_pagerank_mass_bounded(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries.graph import PR_ONE, q_pagerank_fixed
+
+    df = q_pagerank_fixed(spark, sf_dir)
+    agg = df.agg(F.sum("rank_p").alias("s"), F.min("rank_p").alias("lo"),
+                 F.count("*").alias("n")).collect()[0]
+    # floor division only LEAKS mass: total ≤ 1.0, and every node holds at
+    # least the teleport base > 0
+    assert 0 < agg["s"] <= PR_ONE
+    assert agg["lo"] > 0
+    assert agg["n"] == df.select("node_id").distinct().count()
