@@ -20,6 +20,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as contract  # noqa: E402
 from osm_merge_spark.session import get_spark  # noqa: E402
 
+# Named waivers: queries whose flagged construct is PROVEN bounded by a
+# data-independent quantity (each must cite the pinning test). A waiver is
+# not an exemption from review — the audit still prints the flag, it just
+# doesn't count it against the run.
+WAIVED = {
+    # lattice-bounded cartesian over row-extreme candidates: ≤ 2·|y-lattice|
+    # rows (NOT corpus rows) feed the all-triples test — bound pinned by
+    # tests/test_hull_cells.py::test_candidate_bound_is_lattice_not_corpus
+    "hull_cells": "CARTESIAN",
+}
+
 
 def main() -> int:
     args = [a for a in sys.argv[1:]]
@@ -55,8 +66,11 @@ def main() -> int:
         n_bc = len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoop", plan))
         flags = (("SMJ " if smj else "") + ("CARTESIAN " if cart else "")
                  + ("NOPART-WINDOW" if nopart else ""))
-        if smj or cart or nopart:
+        waived = flags.strip() and WAIVED.get(name) == flags.strip()
+        if (smj or cart or nopart) and not waived:
             flagged += 1
+        if waived:
+            flags += "(waived: bounded, see WAIVED)"
         print(f"{name:24s} exchanges={n_ex} sorts={n_sort}"
               f" bcast={n_bc} {flags}")
     print(f"\n{flagged} flagged / {len(names)} audited")

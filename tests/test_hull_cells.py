@@ -65,3 +65,34 @@ def test_single_cell(spark):
     # one cell has no q != p, so the membership test finds nothing — the
     # degenerate raster yields an empty hull rather than crashing
     assert _hull(spark, [(3, 3)]) == set()
+
+
+def test_candidate_bound_is_lattice_not_corpus(spark, sf_dir):
+    # the all-triples membership test (the audit-waived cartesian) runs on
+    # row-extreme candidates only: ≤ 2 rows per distinct ty, a lattice
+    # bound that does NOT grow with corpus rows — this is the invariant
+    # that justifies scripts/plan_audit.py's WAIVED entry
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.functions.cells import TileGrid
+    from osm_merge_spark.queries import base
+    from osm_merge_spark.queries.geo7 import HULL_TILE_M
+
+    grid = TileGrid(tile_m=HULL_TILE_M)
+    img = base.images_df(spark, sf_dir)
+    cells = (
+        img.select(grid.tile_x(F.col("lon")).alias("tx"),
+                   grid.tile_y(F.col("lat")).alias("ty"))
+        .groupBy("tx", "ty").agg(F.count("*").alias("cnt"))
+    )
+    ext = cells.groupBy("ty").agg(F.min("tx").alias("lo"),
+                                  F.max("tx").alias("hi"))
+    n_pts = (
+        ext.select("ty", F.col("lo").alias("tx"))
+        .union(ext.select("ty", F.col("hi").alias("tx")))
+        .distinct().count()
+    )
+    n_ty = cells.select("ty").distinct().count()
+    n_corpus = img.count()
+    assert n_pts <= 2 * n_ty
+    assert n_pts < n_corpus / 10  # candidates ride the lattice, not the data
