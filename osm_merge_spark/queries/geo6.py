@@ -1086,3 +1086,88 @@ def _sql_tile_freshness() -> str:
 
 
 QUERIES["tile_freshness"] = (q_tile_freshness, _sql_tile_freshness())
+
+
+# ---------------------------------------------------------------------------
+# tile_change — temporal change detection per map cell
+# ---------------------------------------------------------------------------
+# tile_freshness asks "is the coverage current"; this asks "did the WORLD
+# under the cell change": split the archive at a pivot date and compare the
+# cell's early-epoch vs late-epoch capture composition. Cells whose volume
+# shifted hardest are where construction/demolition happened — the signal
+# that prioritizes re-capture and map re-conflation.
+#
+# Scale shape: identical to tile_freshness — one equi-join images ⋈ orders
+# on the order key (shuffled-hash both sides; only a 4-byte date rides),
+# one raster-bounded tile hash-agg of two conditional counts (map-side
+# combined). The shift ratio is integer-exact: numerator is abs() so both
+# engines' integer division agree (Spark `div` truncates toward zero,
+# DuckDB `//` floors — they differ on NEGATIVES, so the signed form would
+# silently diverge; the sign ships as its own boolean instead).
+CHANGE_TILE_M = 5_000.0
+CHANGE_PIVOT = "1998-01-01"
+
+
+def q_tile_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir).select(
+        F.floor(F.col("ikey") / F.lit(8)).cast("long").alias("okey"),
+        "lon", "lat",
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"),
+        F.to_date("o_orderdate").alias("cap_date"),
+    )
+    pivot = F.lit(CHANGE_PIVOT).cast("date")
+    j = img.join(orders.hint("shuffle_hash"), "okey")
+    keyed = j.select(
+        F.floor(geo.mercator_x(F.col("lon")) / F.lit(CHANGE_TILE_M))
+        .alias("tx"),
+        F.floor(geo.mercator_y(F.col("lat")) / F.lit(CHANGE_TILE_M))
+        .alias("ty"),
+        (F.col("cap_date") < pivot).alias("early"),
+    )
+    return (
+        keyed.groupBy("tx", "ty")
+        .agg(
+            F.sum(F.when(F.col("early"), 1).otherwise(0))
+            .cast("long").alias("n_early"),
+            F.sum(F.when(F.col("early"), 0).otherwise(1))
+            .cast("long").alias("n_late"),
+        )
+        .select(
+            "tx", "ty", "n_early", "n_late",
+            F.expr(
+                "CAST(abs(n_late - n_early) * 1000000"
+                " div (n_early + n_late) AS BIGINT)"
+            ).alias("shift_e6"),
+            (F.col("n_late") > F.col("n_early")).alias("grew"),
+        )
+    )
+
+
+def _sql_tile_change() -> str:
+    size = geo.dlit(CHANGE_TILE_M)
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"j AS (SELECT img.lon, img.lat,"
+        f" (CAST(o.o_orderdate AS DATE) < DATE '{CHANGE_PIVOT}') AS early"
+        f" FROM img JOIN orders o"
+        f" ON o.o_orderkey = CAST(floor(img.ikey / 8) AS BIGINT)), "
+        f"cells AS (SELECT"
+        f" CAST(floor(({geo.mercator_x_sql('lon')}) / {size})"
+        f" AS BIGINT) AS tx,"
+        f" CAST(floor(({geo.mercator_y_sql('lat')}) / {size})"
+        f" AS BIGINT) AS ty,"
+        f" CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_early,"
+        f" CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT)"
+        f" AS n_late"
+        f" FROM j GROUP BY 1, 2) "
+        f"SELECT tx, ty, n_early, n_late,"
+        f" CAST(abs(n_late - n_early) * 1000000"
+        f" // (n_early + n_late) AS BIGINT) AS shift_e6,"
+        f" (n_late > n_early) AS grew FROM cells"
+    )
+
+
+QUERIES["tile_change"] = (q_tile_change, _sql_tile_change())

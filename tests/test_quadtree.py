@@ -84,3 +84,23 @@ def test_tile_freshness_planted(spark, sf_dir):
     assert not agg["bad"]
     # testdata orders span 1995-01-01 (9131 epoch days) .. 2001-08-01 (11535)
     assert 9131 <= agg["lo"] <= agg["hi"] <= 11535
+
+
+def test_tile_change_conservation_and_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries import base
+    from osm_merge_spark.queries.geo6 import q_tile_change
+
+    out = q_tile_change(spark, sf_dir)
+    agg = out.agg(
+        (F.sum("n_early") + F.sum("n_late")).alias("n"),
+        F.min("shift_e6").alias("lo"),
+        F.max("shift_e6").alias("hi"),
+    ).collect()[0]
+    assert agg["n"] == base.images_df(spark, sf_dir).count()
+    assert 0 <= agg["lo"] <= agg["hi"] <= 1_000_000
+    # grew must agree with the counts it summarizes
+    assert out.where(
+        (F.col("grew") != (F.col("n_late") > F.col("n_early")))
+    ).count() == 0
