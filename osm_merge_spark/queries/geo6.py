@@ -1171,3 +1171,76 @@ def _sql_tile_change() -> str:
 
 
 QUERIES["tile_change"] = (q_tile_change, _sql_tile_change())
+
+
+# ---------------------------------------------------------------------------
+# frame_dedup — sequence-local near-dup drop (consecutive-frame pHash)
+# ---------------------------------------------------------------------------
+# The cheap FIRST dedup pass of a burst/video capture pipeline: before any
+# banded all-corpus near-dup join (dedup_phash), drop frames that are
+# near-identical to the PREVIOUS frame of the same capture sequence — in a
+# street-imagery archive most redundancy is temporal (the car stopped at a
+# light), and sequence-local lag catches it with ZERO joins. Frames =
+# images of one src_part ordered by ikey; phash = the same md5-derived
+# 60-bit stand-in contract as dedup_phash (production: input_hint's
+# phash:int64).
+#
+# Scale shape: ONE window (partitionBy capture sequence — bounded per-key
+# state, no global sort) + native bit_count(xor) in codegen. No shuffle
+# beyond the sequence repartition; at 10^12 frames this is the pass that
+# makes the banded join's input 5-10× smaller. Emits the decision row per
+# frame (keep + hamming-to-prev) so the drop is auditable.
+FRAME_MAX_HAMMING = 3
+
+
+def q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import hashes
+
+    img = base.images_df(spark, sf_dir).select(
+        "ikey", "src_part", "caption",
+    ).withColumn(
+        "ph",
+        hashes.md5i(F.col("caption"), 15).bitwiseXOR(
+            F.expr("shiftleft(1L, CAST(ikey % 4 AS INT)) - 1L")
+        ),
+    )
+    w = Window.partitionBy("src_part").orderBy("ikey")
+    lagged = img.select(
+        "ikey", "src_part", "ph",
+        F.lag("ph").over(w).alias("prev_ph"),
+    )
+    ham = F.when(
+        F.col("prev_ph").isNull(), F.lit(None)
+    ).otherwise(F.bit_count(F.col("ph").bitwiseXOR(F.col("prev_ph"))))
+    return lagged.select(
+        "ikey", "src_part",
+        ham.cast("int").alias("hamming_prev"),
+        (ham.isNull() | (ham > F.lit(FRAME_MAX_HAMMING))).alias("keep"),
+    )
+
+
+def _sql_frame_dedup() -> str:
+    from ..functions import hashes
+
+    ph = (
+        f"xor({hashes.md5i_sql('caption', 15)},"
+        f" (1::BIGINT << CAST(ikey % 4 AS INT)) - 1)"
+    )
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"ph AS (SELECT ikey, src_part, {ph} AS ph FROM img), "
+        f"lagged AS (SELECT ikey, src_part, ph,"
+        f" lag(ph) OVER (PARTITION BY src_part ORDER BY ikey) AS prev_ph"
+        f" FROM ph) "
+        f"SELECT ikey, src_part,"
+        f" CAST(CASE WHEN prev_ph IS NULL THEN NULL"
+        f" ELSE bit_count(xor(ph, prev_ph)) END AS INT) AS hamming_prev,"
+        f" (prev_ph IS NULL"
+        f" OR bit_count(xor(ph, prev_ph)) > {FRAME_MAX_HAMMING}) AS keep"
+        f" FROM lagged"
+    )
+
+
+QUERIES["frame_dedup"] = (q_frame_dedup, _sql_frame_dedup())

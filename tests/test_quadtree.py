@@ -104,3 +104,29 @@ def test_tile_change_conservation_and_bounds(spark, sf_dir):
     assert out.where(
         (F.col("grew") != (F.col("n_late") > F.col("n_early")))
     ).count() == 0
+
+
+def test_frame_dedup_planted_semantics(spark, sf_dir):
+    # first frame of every sequence is always kept (no prev); dropped frames
+    # are exactly those with hamming_prev <= FRAME_MAX_HAMMING; total rows ==
+    # corpus size (one decision per frame)
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries import base
+    from osm_merge_spark.queries.geo6 import FRAME_MAX_HAMMING, q_frame_dedup
+
+    out = q_frame_dedup(spark, sf_dir)
+    n_img = base.images_df(spark, sf_dir).count()
+    assert out.count() == n_img
+    assert out.where(F.col("hamming_prev").isNull()
+                     & ~F.col("keep")).count() == 0
+    bad = out.where(
+        F.col("hamming_prev").isNotNull()
+        & (F.col("keep") == (F.col("hamming_prev") <= FRAME_MAX_HAMMING))
+    ).count()
+    assert bad == 0
+    # the synthetic captions plant real redundancy: some frames must drop,
+    # but never all of a sequence (its first frame survives)
+    n_seq = out.select("src_part").distinct().count()
+    n_kept = out.where("keep").count()
+    assert n_seq <= n_kept < n_img
