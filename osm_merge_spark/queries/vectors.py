@@ -855,3 +855,116 @@ def _sql_emb_coherence() -> str:
 
 
 QUERIES["emb_coherence"] = (q_emb_coherence, _sql_emb_coherence())
+
+
+# ---------------------------------------------------------------------------
+# emb_outliers — mislabeled-sample detection by distance-to-class-centroid
+# ---------------------------------------------------------------------------
+# emb_coherence audits whether a CLUSTER collapsed; this audits whether a
+# MEMBER belongs: a vector far from its label's centroid is a labeling
+# error / out-of-distribution sample — the curation gate that runs right
+# after (or instead of) human QA on a web-scraped class dataset.
+#
+# Integer-exact by scaling out the division: with S = Σ q_v (per-dim e3
+# sums) and n members, n²·‖v − S/n‖² = n²‖v‖² − 2n⟨v,S⟩ + ‖S‖² — every
+# term int64. The decision is a per-label REVIEW QUEUE (top-K most
+# distant members, ties to smaller vec_id) rather than a fixed factor
+# over the label mean: on real unit-norm web embeddings the cluster
+# signal is a few % of the norm, so distance-to-centroid is homogeneous
+# and any absolute threshold is either inert or hair-trigger — a fixed
+# review budget per class is what the curation team actually consumes
+# anyway. Overflow bound
+# (documented, like emb_coherence's): ‖S‖² ≤ n²·D·q_max² ⇒ int64-safe to
+# n ≈ 3.8e5 members/label at e3 quantization and D=64; beyond that drop
+# to e2 (bound ×100) or subtract the mean in a first pass.
+#
+# Scale shape: per-label sums are ONE map-side-combined hash agg emitting
+# D+2 longs per label; the join back to members is label-keyed and the
+# per-label table is bounded by the LABEL DOMAIN (a class vocabulary, not
+# corpus rows) — the textbook broadcast dimension. The member-side dot is
+# D multiply-adds in codegen; nothing shuffles but slim (label, stats).
+# The queue rank is a window partitioned BY LABEL (bounded per-key state,
+# the §2.5 ranking-window family — not a global sort).
+OUT_TOPK = 5  # review-queue depth per label
+
+
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qv = emb.select(
+        "vec_id", "label",
+        F.transform(
+            F.col("embedding"),
+            lambda e: F.floor(e.cast("double") * F.lit(EMB_Q3)).cast("long"),
+        ).alias("q"),
+    ).withColumn(
+        "norm2",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x * x),
+    )
+    sums = [F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(DIM)]
+    lab = qv.groupBy("label").agg(F.count("*").alias("n"), *sums)
+    s2 = None
+    for i in range(DIM):
+        t = F.col(f"s{i}") * F.col(f"s{i}")
+        s2 = t if s2 is None else s2 + t
+    lab = lab.withColumn("snorm2", s2)
+    dot = None
+    for i in range(DIM):
+        t = F.col("q")[i] * F.col(f"s{i}")
+        dot = t if dot is None else dot + t
+    scored = (
+        qv.join(F.broadcast(lab), "label")
+        .select(
+            "vec_id", "label",
+            (
+                F.col("n") * F.col("n") * F.col("norm2")
+                - F.lit(2) * F.col("n") * dot
+                + F.col("snorm2")
+            ).cast("long").alias("d2n2"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(
+        F.col("d2n2").desc(), F.col("vec_id").asc()
+    )
+    return scored.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "d2n2",
+        F.row_number().over(w).alias("review_rank"),
+    ).withColumn("in_queue", F.col("review_rank") <= F.lit(OUT_TOPK))
+
+
+def _sql_emb_outliers() -> str:
+    from ..functions.geo import dlit
+
+    q = dlit(EMB_Q3)
+    return (
+        "WITH x AS (SELECT vec_id, label,"
+        f" CAST(floor(unnest(embedding) * {q}) AS BIGINT) AS c,"
+        " generate_subscripts(embedding, 1) AS k FROM embeddings), "
+        "vnorm AS (SELECT vec_id, label, sum(c * c) AS norm2 FROM x"
+        " GROUP BY 1, 2), "
+        "ls AS (SELECT label, k, sum(c) AS s FROM x GROUP BY 1, 2), "
+        "lagg AS (SELECT label, sum(s * s) AS snorm2 FROM ls GROUP BY 1), "
+        "nn AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1), "
+        "vdot AS (SELECT x.vec_id, x.label, sum(x.c * ls.s) AS dot"
+        " FROM x JOIN ls ON ls.label = x.label AND ls.k = x.k"
+        " GROUP BY 1, 2), "
+        "scored AS (SELECT v.vec_id, v.label,"
+        " CAST(nn.n * nn.n * v.norm2 - 2 * nn.n * vdot.dot"
+        "  + lagg.snorm2 AS BIGINT) AS d2n2"
+        " FROM vnorm v JOIN vdot ON vdot.vec_id = v.vec_id"
+        " JOIN nn ON nn.label = v.label"
+        " JOIN lagg ON lagg.label = v.label) "
+        "SELECT vec_id, CAST(label AS INT) AS label, d2n2,"
+        " CAST(row_number() OVER (PARTITION BY label"
+        " ORDER BY d2n2 DESC, vec_id ASC) AS INT) AS review_rank,"
+        f" (row_number() OVER (PARTITION BY label"
+        f" ORDER BY d2n2 DESC, vec_id ASC) <= {OUT_TOPK}) AS in_queue"
+        " FROM scored"
+    )
+
+
+QUERIES["emb_outliers"] = (q_emb_outliers, _sql_emb_outliers())

@@ -84,3 +84,58 @@ def test_identity_matches_explicit_pairs(spark):
     rows = [(i, [float(x) for x in v], 7) for i, v in enumerate(vecs)]
     out = _run(spark, rows, dim=3)
     assert out[7]["pair_dot_q"] == expect
+
+
+def test_outliers_sum_matches_coherence_identity(spark, sf_dir):
+    # Σ_v n²·dist²(v, centroid) = n·(n·Σ‖v‖² − ‖Σv‖²) — the same moments
+    # emb_coherence reports, so the two queries must agree exactly
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries.vectors import (
+        q_emb_coherence, q_emb_outliers,
+    )
+
+    out = (
+        q_emb_outliers(spark, sf_dir)
+        .groupBy("label").agg(F.sum("d2n2").alias("sum_d2n2"),
+                              F.count("*").alias("n"))
+    )
+    coh = q_emb_coherence(spark, sf_dir).select(
+        "label", "n_vecs", "sum_norm2_q", "gram_q"
+    )
+    j = out.join(coh, "label")
+    bad = j.where(
+        F.col("sum_d2n2")
+        != F.col("n_vecs") * (F.col("n_vecs") * F.col("sum_norm2_q")
+                              - F.col("gram_q"))
+    ).count()
+    assert bad == 0
+    assert j.where(F.col("n") != F.col("n_vecs")).count() == 0
+
+
+def test_outliers_queue_semantics(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries.vectors import OUT_TOPK, q_emb_outliers
+
+    df = q_emb_outliers(spark, sf_dir)
+    assert df.where(F.col("d2n2") < 0).count() == 0
+    # exactly min(OUT_TOPK, label size) queued per label, and queue members
+    # are exactly ranks 1..K
+    per = df.groupBy("label").agg(
+        F.sum(F.col("in_queue").cast("int")).alias("q"),
+        F.count("*").alias("n"),
+        F.max(F.when(F.col("in_queue"),
+                     F.col("review_rank"))).alias("maxq"),
+    ).collect()
+    for r in per:
+        assert r.q == min(OUT_TOPK, r.n)
+        assert r.maxq == r.q
+    # queued d2n2 dominates unqueued within the label
+    j = (
+        df.where("in_queue").groupBy("label")
+        .agg(F.min("d2n2").alias("qmin"))
+        .join(df.where(~F.col("in_queue")).groupBy("label")
+              .agg(F.max("d2n2").alias("omax")), "label")
+    )
+    assert j.where(F.col("qmin") < F.col("omax")).count() == 0
