@@ -1244,3 +1244,134 @@ def _sql_frame_dedup() -> str:
 
 
 QUERIES["frame_dedup"] = (q_frame_dedup, _sql_frame_dedup())
+
+
+# ---------------------------------------------------------------------------
+# cell_kanon — k-anonymity publication gate per map cell
+# ---------------------------------------------------------------------------
+# Before a coverage heatmap ships publicly, cells backed by too FEW
+# distinct capture sequences must be suppressed — a lone contributor's
+# commute is re-identifiable from the heatmap alone (the standard
+# k-anonymity release rule for mobility rasters). Sequence id = src_part
+# (the same capture-sequence notion frame_dedup uses).
+#
+# Scale shape: ONE exact distinct-count aggregation keyed by cell —
+# Spark plans count(DISTINCT) as the two-level expand/partial-agg with
+# map-side dedup, so the shuffle carries (cell, seq) pairs already
+# deduplicated per map task; no joins, raster-bounded output. The gate
+# flag ships alongside the counts so the publisher's filter is auditable.
+KANON_TILE_M = 5_000.0
+KANON_K = 5
+
+
+def q_cell_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir)
+    keyed = img.select(
+        F.floor(geo.mercator_x(F.col("lon")) / F.lit(KANON_TILE_M))
+        .alias("tx"),
+        F.floor(geo.mercator_y(F.col("lat")) / F.lit(KANON_TILE_M))
+        .alias("ty"),
+        "src_part",
+    )
+    return keyed.groupBy("tx", "ty").agg(
+        F.count("*").alias("n_images"),
+        F.countDistinct("src_part").alias("n_seqs"),
+    ).select(
+        "tx", "ty", "n_images", "n_seqs",
+        (F.col("n_seqs") >= F.lit(KANON_K)).alias("publish"),
+    )
+
+
+def _sql_cell_kanon() -> str:
+    size = geo.dlit(KANON_TILE_M)
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}) "
+        f"SELECT CAST(floor(({geo.mercator_x_sql('lon')}) / {size})"
+        f" AS BIGINT) AS tx,"
+        f" CAST(floor(({geo.mercator_y_sql('lat')}) / {size})"
+        f" AS BIGINT) AS ty,"
+        f" CAST(count(*) AS BIGINT) AS n_images,"
+        f" CAST(count(DISTINCT src_part) AS BIGINT) AS n_seqs,"
+        f" (count(DISTINCT src_part) >= {KANON_K}) AS publish"
+        f" FROM img GROUP BY 1, 2"
+    )
+
+
+QUERIES["cell_kanon"] = (q_cell_kanon, _sql_cell_kanon())
+
+
+# ---------------------------------------------------------------------------
+# tile_priority — recency-weighted coverage score (exact integer decay)
+# ---------------------------------------------------------------------------
+# tile_freshness reports WHEN a cell was last seen; this turns the whole
+# capture-age distribution into one rankable score: every image
+# contributes weight 1e6 halved per HALF_LIFE of age — a capture plan
+# sorts ascending and re-flies the bottom. Exponential decay is normally
+# float territory; restricted to power-of-two decay it is ONE integer
+# shift (1000000 >> (age_days div HALF_LIFE)) — bit-identical across
+# engines, no epsilon anywhere (the decision that makes an exact oracle
+# possible; shift clamped at 62 so pathological ages stay defined).
+#
+# Scale shape: the tile_freshness join (images ⋈ orders, shuffled-hash,
+# 4-byte date rides) + one map-side-combined hash-agg sum.
+PRIO_TILE_M = 5_000.0
+PRIO_HALF_LIFE_D = 365
+PRIO_ASOF = "2001-12-31"  # score as of a PINNED date — never wall clock
+
+
+def q_tile_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = base.images_df(spark, sf_dir).select(
+        F.floor(F.col("ikey") / F.lit(8)).cast("long").alias("okey"),
+        "lon", "lat",
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"),
+        F.to_date("o_orderdate").alias("cap_date"),
+    )
+    j = img.join(orders.hint("shuffle_hash"), "okey").withColumn(
+        "age_d",
+        F.datediff(F.lit(PRIO_ASOF).cast("date"), F.col("cap_date"))
+        .cast("long"),
+    )
+    # pyspark's shiftright() only takes a literal bit count — the
+    # column-shift form goes through the SQL expression directly
+    w = F.expr(
+        f"shiftright(CAST(1000000 AS BIGINT),"
+        f" CAST(least(age_d div {PRIO_HALF_LIFE_D}, 62) AS INT))"
+    )
+    keyed = j.select(
+        F.floor(geo.mercator_x(F.col("lon")) / F.lit(PRIO_TILE_M))
+        .alias("tx"),
+        F.floor(geo.mercator_y(F.col("lat")) / F.lit(PRIO_TILE_M))
+        .alias("ty"),
+        w.alias("w"),
+    )
+    return keyed.groupBy("tx", "ty").agg(
+        F.count("*").alias("n_images"),
+        F.sum("w").cast("long").alias("priority"),
+    )
+
+
+def _sql_tile_priority() -> str:
+    size = geo.dlit(PRIO_TILE_M)
+    age = f"(DATE '{PRIO_ASOF}' - CAST(o.o_orderdate AS DATE))"
+    w = (
+        f"(CAST(1000000 AS BIGINT)"
+        f" >> least({age} // {PRIO_HALF_LIFE_D}, 62))"
+    )
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"j AS (SELECT img.lon, img.lat, {w} AS w"
+        f" FROM img JOIN orders o"
+        f" ON o.o_orderkey = CAST(floor(img.ikey / 8) AS BIGINT)) "
+        f"SELECT CAST(floor(({geo.mercator_x_sql('lon')}) / {size})"
+        f" AS BIGINT) AS tx,"
+        f" CAST(floor(({geo.mercator_y_sql('lat')}) / {size})"
+        f" AS BIGINT) AS ty,"
+        f" CAST(count(*) AS BIGINT) AS n_images,"
+        f" CAST(sum(w) AS BIGINT) AS priority"
+        f" FROM j GROUP BY 1, 2"
+    )
+
+
+QUERIES["tile_priority"] = (q_tile_priority, _sql_tile_priority())

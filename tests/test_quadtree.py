@@ -130,3 +130,38 @@ def test_frame_dedup_planted_semantics(spark, sf_dir):
     n_seq = out.select("src_part").distinct().count()
     n_kept = out.where("keep").count()
     assert n_seq <= n_kept < n_img
+
+
+def test_cell_kanon_gate_consistency(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries import base
+    from osm_merge_spark.queries.geo6 import KANON_K, q_cell_kanon
+
+    out = q_cell_kanon(spark, sf_dir)
+    assert out.agg(F.sum("n_images")).collect()[0][0] == \
+        base.images_df(spark, sf_dir).count()
+    assert out.where(F.col("n_seqs") > F.col("n_images")).count() == 0
+    assert out.where(
+        F.col("publish") != (F.col("n_seqs") >= F.lit(KANON_K))
+    ).count() == 0
+
+
+def test_tile_priority_decay_bounds(spark, sf_dir):
+    # weight per image ∈ [1e6 >> 62, 1e6]: priority ≤ n_images·1e6 and > 0;
+    # and a fresher synthetic pivot strictly increases no cell's priority
+    # above the cap
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries.geo6 import q_tile_priority
+
+    out = q_tile_priority(spark, sf_dir)
+    assert out.where(F.col("priority") <= 0).count() == 0
+    assert out.where(
+        F.col("priority") > F.col("n_images") * F.lit(1_000_000)
+    ).count() == 0
+    # decay actually bites: with ages spanning >1 half-life, some cell must
+    # score strictly below the no-decay cap
+    assert out.where(
+        F.col("priority") < F.col("n_images") * F.lit(1_000_000)
+    ).count() > 0
