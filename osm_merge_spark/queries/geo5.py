@@ -1174,3 +1174,109 @@ def _sql_tile_luma_hist() -> str:
 
 
 QUERIES["tile_luma_hist"] = (q_tile_luma_hist, _sql_tile_luma_hist())
+
+
+# ---------------------------------------------------------------------------
+# hog_hist — per-image gradient-orientation histogram (the HOG front end)
+# ---------------------------------------------------------------------------
+# image_sharpness proves total gradient ENERGY survives the decode ladder;
+# this proves per-pixel gradient DIRECTION does — the first stage of every
+# HOG/edge-based feature extractor and the cheapest "is there structure and
+# which way does it point" gate a curation pipeline runs on pixels. Central
+# differences on the integer Rec.601 luma plane, classified into 8
+# orientation classes by the pure-comparison coding
+#   class = [dx>0] + 2·[dy>0] + 4·[|dx|≥|dy|]
+# (a fixed relabeling of the 8 half-octants with ties folded
+# deterministically — chosen over atan2 octants because it is EXACT
+# integer logic both engines evaluate identically; flat pixels dx=dy=0
+# are counted separately, not binned). Interior 14×14 of the 16×16 frame.
+#
+# 100 TB story: pixels reduce to 9 longs per image inside ONE mapInPandas
+# pass (bytes never shuffle); the oracle replays splitmix64 + the QNT
+# codec + the luma recombination per pixel, then takes the SAME central
+# differences via q±1 / q±16 self-joins on the byte-position lattice —
+# the first oracle to replay a 2-D neighborhood op in pure SQL.
+
+
+def _decode_hog(images: DataFrame) -> DataFrame:
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        from ..data import images as codec
+
+        for pdf in batches:
+            out = {"image_id": []}
+            for b in range(8):
+                out[f"o{b}"] = []
+            out["n_flat"] = []
+            for iid, buf, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                     pdf["fmt"]):
+                px = codec.decode(bytes(buf), fmt).astype(np.int64)
+                flat = px.reshape(-1, 3)
+                luma = ((77 * flat[:, 0] + 150 * flat[:, 1]
+                         + 29 * flat[:, 2]) >> 8).reshape(TIS_H, TIS_W)
+                dx = luma[1:-1, 2:] - luma[1:-1, :-2]
+                dy = luma[2:, 1:-1] - luma[:-2, 1:-1]
+                flat_m = (dx == 0) & (dy == 0)
+                cls = ((dx > 0).astype(np.int64)
+                       + 2 * (dy > 0).astype(np.int64)
+                       + 4 * (np.abs(dx) >= np.abs(dy)).astype(np.int64))
+                counts = np.bincount(cls[~flat_m], minlength=8)
+                out["image_id"].append(iid)
+                for b in range(8):
+                    out[f"o{b}"].append(int(counts[b]))
+                out["n_flat"].append(int(flat_m.sum()))
+            yield pd.DataFrame(out)
+
+    cols = ", ".join(f"o{b} long" for b in range(8))
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=f"image_id string, {cols}, n_flat long"
+    )
+
+
+def q_hog_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..data import synth
+
+    img = synth.synth_images(spark, TIS_N, with_bytes=True)
+    return _decode_hog(img)
+
+
+def _sql_hog_hist() -> str:
+    w = TIS_W
+    cls = (
+        "(CASE WHEN dx > 0 THEN 1 ELSE 0 END)"
+        " + 2 * (CASE WHEN dy > 0 THEN 1 ELSE 0 END)"
+        " + 4 * (CASE WHEN abs(dx) >= abs(dy) THEN 1 ELSE 0 END)"
+    )
+    octs = ", ".join(
+        f"CAST(count(*) FILTER (NOT (dx = 0 AND dy = 0)"
+        f" AND {cls} = {b}) AS BIGINT) AS o{b}"
+        for b in range(8)
+    )
+    return (
+        f"WITH imgs AS (SELECT CAST(i AS BIGINT) AS i"
+        f" FROM range({TIS_N}) t(i)), "
+        f"{_decoded_bytes_cte()}, "
+        "lum AS (SELECT i, p // 3 AS q,"
+        " CAST(sum(CASE WHEN p % 3 = 0 THEN 77 * dv"
+        "              WHEN p % 3 = 1 THEN 150 * dv"
+        "              ELSE 29 * dv END) // 256 AS BIGINT) AS luma"
+        " FROM dec GROUP BY i, p // 3), "
+        "grad AS (SELECT a.i, a.q,"
+        " bp.luma - bm.luma AS dx, cp.luma - cm.luma AS dy"
+        " FROM lum a"
+        " JOIN lum bp ON bp.i = a.i AND bp.q = a.q + 1"
+        " JOIN lum bm ON bm.i = a.i AND bm.q = a.q - 1"
+        f" JOIN lum cp ON cp.i = a.i AND cp.q = a.q + {w}"
+        f" JOIN lum cm ON cm.i = a.i AND cm.q = a.q - {w}"
+        f" WHERE (a.q % {w}) BETWEEN 1 AND {w - 2}"
+        f" AND (a.q // {w}) BETWEEN 1 AND {TIS_H - 2}) "
+        f"SELECT 'img-' || CAST(i AS VARCHAR) AS image_id, {octs},"
+        " CAST(count(*) FILTER (dx = 0 AND dy = 0) AS BIGINT) AS n_flat"
+        " FROM grad GROUP BY i"
+    )
+
+
+QUERIES["hog_hist"] = (q_hog_hist, _sql_hog_hist())
