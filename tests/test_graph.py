@@ -168,3 +168,42 @@ def test_pagerank_mass_bounded(spark, sf_dir):
     assert 0 < agg["s"] <= PR_ONE
     assert agg["lo"] > 0
     assert agg["n"] == df.select("node_id").distinct().count()
+
+
+def test_onion_layers_planted(spark):
+    # clique K6 glued to a path: at k=3 the path peels immediately (layer 0),
+    # the clique survives every round (layer R: internal degree 5 ≥ 3 and
+    # peeling the path never lowers it)
+    from osm_merge_spark.queries.graph import KCORE_R, onion_layers
+
+    clique = [(u, v) for u in range(6) for v in range(6) if u != v]
+    path = [(6, 7), (7, 6), (7, 8), (8, 7), (5, 6), (6, 5)]
+    edges = spark.createDataFrame(clique + path, ["src", "dst"])
+    got = {r.node_id: r.layer for r in onion_layers(edges, k=3).collect()}
+    for u in range(5):
+        assert got[u] == KCORE_R, (u, got[u])
+    assert got[7] == 0 and got[8] == 0
+    # node 5 has degree 6 (clique + bridge) and stays with the clique
+    assert got[5] == KCORE_R
+
+
+def test_onion_layers_monotone_histogram(spark, sf_dir):
+    # layers are a partition of all nodes; survivor counts shrink per round
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries.graph import (
+        KCORE_R, _cooccur_edges, q_onion_layers,
+    )
+
+    out = q_onion_layers(spark, sf_dir)
+    edges = _cooccur_edges(spark, sf_dir)
+    assert out.count() == edges.select("src").distinct().count()
+    hist = {r.layer: r.n for r in
+            out.groupBy("layer").agg(F.count("*").alias("n")).collect()}
+    assert all(0 <= ly <= KCORE_R for ly in hist)
+    # survivors after round i = Σ_{layer ≥ i}: must be non-increasing
+    surv = [sum(n for ly, n in hist.items() if ly >= i)
+            for i in range(KCORE_R + 1)]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    # the peel must actually bite on this fixture (measured: it collapses)
+    assert surv[KCORE_R] < surv[0]
