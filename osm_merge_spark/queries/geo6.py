@@ -1375,3 +1375,131 @@ def _sql_tile_priority() -> str:
 
 
 QUERIES["tile_priority"] = (q_tile_priority, _sql_tile_priority())
+
+
+# ---------------------------------------------------------------------------
+# curate_assemble — the round-5 capstone: dedup ∩ privacy ∩ recency in one plan
+# ---------------------------------------------------------------------------
+# The publishable-training-set assembly this round's operators exist for,
+# composed as ONE lazy plan: keep each cell's frame-dedup SURVIVORS
+# (frame_dedup), only in cells that pass the k-anonymity gate
+# (cell_kanon), scored by the exact integer recency decay
+# (tile_priority). Output: per publishable cell, the curated image count
+# and its recency-weighted priority — the manifest a dataset release cut
+# ships.
+#
+# Scale shape: the window (sequence-keyed, bounded state) and the two
+# hash-aggs run off ONE shared images scan; the kanon gate table is
+# raster-bounded (cells, not corpus) so its join back is the bounded-side
+# shuffled-hash equi-join on (tx, ty); the orders join rides a 4-byte
+# date. No new shuffle class beyond the parts already audited.
+
+
+def q_curate_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import hashes
+
+    img = base.images_df(spark, sf_dir)
+    tx = F.floor(geo.mercator_x(F.col("lon")) / F.lit(KANON_TILE_M))
+    ty = F.floor(geo.mercator_y(F.col("lat")) / F.lit(KANON_TILE_M))
+
+    # sequence-local dedup decision (frame_dedup's window, inline so the
+    # images scan is shared)
+    from pyspark.sql import Window
+
+    ph = hashes.md5i(F.col("caption"), 15).bitwiseXOR(
+        F.expr("shiftleft(1L, CAST(ikey % 4 AS INT)) - 1L")
+    )
+    w = Window.partitionBy("src_part").orderBy("ikey")
+    frames = img.select(
+        "ikey", "src_part", "lon", "lat", ph.alias("ph"),
+    ).withColumn("prev_ph", F.lag("ph").over(w))
+    ham = F.when(F.col("prev_ph").isNull(), F.lit(None)).otherwise(
+        F.bit_count(F.col("ph").bitwiseXOR(F.col("prev_ph")))
+    )
+    kept = frames.where(
+        ham.isNull() | (ham > F.lit(FRAME_MAX_HAMMING))
+    ).select("ikey", tx.alias("tx"), ty.alias("ty"))
+
+    # k-anonymity gate over the FULL corpus (suppression must count every
+    # image, not just survivors — dropping a frame must never unlock a cell)
+    gate = (
+        img.select(tx.alias("tx"), ty.alias("ty"), "src_part")
+        .groupBy("tx", "ty")
+        .agg(F.countDistinct("src_part").alias("n_seqs"))
+        .where(F.col("n_seqs") >= F.lit(KANON_K))
+        .select("tx", "ty")
+    )
+
+    # recency weight per kept frame
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"),
+        F.to_date("o_orderdate").alias("cap_date"),
+    )
+    kept_w = (
+        kept.withColumn(
+            "okey", F.floor(F.col("ikey") / F.lit(8)).cast("long")
+        )
+        .join(orders.hint("shuffle_hash"), "okey")
+        .withColumn(
+            "age_d",
+            F.datediff(F.lit(PRIO_ASOF).cast("date"), F.col("cap_date"))
+            .cast("long"),
+        )
+        .withColumn(
+            "wgt",
+            F.expr(
+                f"shiftright(CAST(1000000 AS BIGINT),"
+                f" CAST(least(age_d div {PRIO_HALF_LIFE_D}, 62) AS INT))"
+            ),
+        )
+    )
+    return (
+        kept_w.join(gate.hint("shuffle_hash"), ["tx", "ty"])
+        .groupBy("tx", "ty")
+        .agg(
+            F.count("*").alias("n_curated"),
+            F.sum("wgt").cast("long").alias("priority"),
+        )
+    )
+
+
+def _sql_curate_assemble() -> str:
+    from ..functions import hashes
+
+    size = geo.dlit(KANON_TILE_M)
+    phx = (
+        f"xor({hashes.md5i_sql('caption', 15)},"
+        f" (1::BIGINT << CAST(ikey % 4 AS INT)) - 1)"
+    )
+    age = f"(DATE '{PRIO_ASOF}' - CAST(o.o_orderdate AS DATE))"
+    wgt = (
+        f"(CAST(1000000 AS BIGINT)"
+        f" >> least({age} // {PRIO_HALF_LIFE_D}, 62))"
+    )
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"cells AS (SELECT ikey, src_part, lon, lat, caption,"
+        f" CAST(floor(({geo.mercator_x_sql('lon')}) / {size})"
+        f" AS BIGINT) AS tx,"
+        f" CAST(floor(({geo.mercator_y_sql('lat')}) / {size})"
+        f" AS BIGINT) AS ty FROM img), "
+        f"ph AS (SELECT ikey, src_part, tx, ty, {phx} AS ph FROM cells), "
+        f"lagged AS (SELECT ikey, tx, ty, ph,"
+        f" lag(ph) OVER (PARTITION BY src_part ORDER BY ikey) AS prev_ph"
+        f" FROM ph), "
+        f"kept AS (SELECT ikey, tx, ty FROM lagged"
+        f" WHERE prev_ph IS NULL"
+        f" OR bit_count(xor(ph, prev_ph)) > {FRAME_MAX_HAMMING}), "
+        f"gate AS (SELECT tx, ty FROM cells GROUP BY tx, ty"
+        f" HAVING count(DISTINCT src_part) >= {KANON_K}), "
+        f"wk AS (SELECT k.tx, k.ty, {wgt} AS wgt"
+        f" FROM kept k JOIN orders o"
+        f" ON o.o_orderkey = CAST(floor(k.ikey / 8) AS BIGINT)) "
+        f"SELECT w.tx, w.ty, CAST(count(*) AS BIGINT) AS n_curated,"
+        f" CAST(sum(w.wgt) AS BIGINT) AS priority"
+        f" FROM wk w JOIN gate g ON g.tx = w.tx AND g.ty = w.ty"
+        f" GROUP BY w.tx, w.ty"
+    )
+
+
+QUERIES["curate_assemble"] = (q_curate_assemble, _sql_curate_assemble())

@@ -165,3 +165,36 @@ def test_tile_priority_decay_bounds(spark, sf_dir):
     assert out.where(
         F.col("priority") < F.col("n_images") * F.lit(1_000_000)
     ).count() > 0
+
+
+def test_curate_assemble_composes_exactly(spark, sf_dir):
+    # the capstone must equal the composition of its three parts computed
+    # independently: kept frames ⋈ publishable cells, priority ≤ the
+    # unfiltered tile_priority of the same cell
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries.geo6 import (
+        KANON_TILE_M, PRIO_TILE_M, q_cell_kanon, q_curate_assemble,
+        q_frame_dedup, q_tile_priority,
+    )
+
+    assert KANON_TILE_M == PRIO_TILE_M  # the composition shares one raster
+    cur = q_curate_assemble(spark, sf_dir)
+    kanon = q_cell_kanon(spark, sf_dir)
+    prio = q_tile_priority(spark, sf_dir)
+    # every curated cell is publishable
+    bad = cur.join(
+        kanon.where("publish").select("tx", "ty"), ["tx", "ty"], "left_anti"
+    ).count()
+    assert bad == 0
+    # curated counts ≤ cell image counts; curated priority ≤ cell priority
+    j = cur.join(kanon.select("tx", "ty", "n_images"), ["tx", "ty"]).join(
+        prio.select("tx", "ty", F.col("priority").alias("p_all")),
+        ["tx", "ty"],
+    )
+    assert j.where(F.col("n_curated") > F.col("n_images")).count() == 0
+    assert j.where(F.col("priority") > F.col("p_all")).count() == 0
+    # global conservation: Σ curated == kept frames inside publishable cells
+    n_kept_total = q_frame_dedup(spark, sf_dir).where("keep").count()
+    n_curated = cur.agg(F.sum("n_curated")).collect()[0][0]
+    assert 0 < n_curated <= n_kept_total
