@@ -40,6 +40,10 @@ HEADLINE = [
     # actually serves AOI queries from; compare against the flat `aoi_clip`
     # row above
     "zlayout_aoi_clip",
+    # the round-5 curation capstone (sequence dedup ∩ k-anonymity gate ∩
+    # integer recency decay, one lazy plan) — tracked from r5 so future
+    # rounds see its trend next to image_dedup_assemble's
+    "curate_assemble",
 ]
 
 
