@@ -1503,3 +1503,107 @@ def _sql_curate_assemble() -> str:
 
 
 QUERIES["curate_assemble"] = (q_curate_assemble, _sql_curate_assemble())
+
+
+# ---------------------------------------------------------------------------
+# grid_orientation — street-grid orientation histogram per map cell
+# ---------------------------------------------------------------------------
+# The city-orientation analysis (Boeing 2019, "Urban spatial order"):
+# per cell, how way-segment ORIENTATIONS distribute over four 45° classes —
+# gridded cities spike in one class, organic ones spread flat. Streets are
+# undirected, so each segment folds to the upper half-plane (dy<0, or dy=0
+# & dx<0 → negate both) before the pure-comparison class coding
+#   class = [dx>0] + 2·[|dx|≥|dy|]
+# (0: W-leaning steep, 1: E-leaning steep, 2/3: shallow — the same
+# exact-integer-logic trick as hog_hist, no atan2; deltas are planar
+# lon/lat, the documented convention for one city-scale AOI). Zero-length
+# segments are excluded. IEEE double subtraction and comparison evaluate
+# identically in both engines, so the oracle is exact without quantizing.
+#
+# Scale shape: ONE posexplode of the vertex arrays (segments = vertices−1
+# per way, streamed map-side), the comparison coding in codegen, one
+# raster-bounded hash-agg with map-side combine. No joins at all.
+GRID_TILE_M = 5_000.0
+
+
+def seg_orientation_cells(ways: DataFrame) -> DataFrame:
+    """(way_id, xs, ys) → per-cell 4-class orientation histogram (module
+    comment above). The supplier-way fixture is shallow-dominant (every
+    synthetic way has |dx| ≥ |dy|), so the steep classes o0/o1 are
+    exercised by the hand-built-ways unit test rather than the oracle."""
+    seg = ways.select(
+        F.explode(
+            F.sequence(F.lit(2), F.size("xs"))
+        ).alias("i"), "xs", "ys",
+    ).select(
+        (F.element_at("xs", F.col("i"))
+         - F.element_at("xs", F.col("i") - 1)).alias("dx0"),
+        (F.element_at("ys", F.col("i"))
+         - F.element_at("ys", F.col("i") - 1)).alias("dy0"),
+        ((F.element_at("xs", F.col("i"))
+          + F.element_at("xs", F.col("i") - 1)) / F.lit(2.0)).alias("mx"),
+        ((F.element_at("ys", F.col("i"))
+          + F.element_at("ys", F.col("i") - 1)) / F.lit(2.0)).alias("my"),
+    ).where((F.col("dx0") != 0) | (F.col("dy0") != 0))
+    flip = (F.col("dy0") < 0) | (
+        (F.col("dy0") == 0) & (F.col("dx0") < 0)
+    )
+    dx = F.when(flip, -F.col("dx0")).otherwise(F.col("dx0"))
+    dy = F.when(flip, -F.col("dy0")).otherwise(F.col("dy0"))
+    cls = (
+        F.when(dx > 0, 1).otherwise(0)
+        + F.when(F.abs(dx) >= F.abs(dy), 2).otherwise(0)
+    )
+    keyed = seg.select(
+        F.floor(geo.mercator_x(F.col("mx")) / F.lit(GRID_TILE_M))
+        .alias("tx"),
+        F.floor(geo.mercator_y(F.col("my")) / F.lit(GRID_TILE_M))
+        .alias("ty"),
+        cls.alias("cls"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("cls") == b, 1).otherwise(0))
+        .cast("long").alias(f"o{b}")
+        for b in range(4)
+    ]
+    return keyed.groupBy("tx", "ty").agg(
+        F.count("*").alias("n_segs"), *aggs
+    )
+
+
+def q_grid_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seg_orientation_cells(base.ways_df(spark, sf_dir))
+
+
+def _sql_grid_orientation() -> str:
+    size = geo.dlit(GRID_TILE_M)
+    dx0, dy0 = "(xs[i] - xs[i - 1])", "(ys[i] - ys[i - 1])"
+    mx = f"((xs[i] + xs[i - 1]) / {geo.dlit(2.0)})"
+    my = f"((ys[i] + ys[i - 1]) / {geo.dlit(2.0)})"
+    flip = f"({dy0} < 0 OR ({dy0} = 0 AND {dx0} < 0))"
+    dx = f"(CASE WHEN {flip} THEN -{dx0} ELSE {dx0} END)"
+    dy = f"(CASE WHEN {flip} THEN -{dy0} ELSE {dy0} END)"
+    cls = (
+        f"((CASE WHEN {dx} > 0 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN abs({dx}) >= abs({dy}) THEN 2 ELSE 0 END))"
+    )
+    octs = ", ".join(
+        f"CAST(sum(CASE WHEN cls = {b} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS o{b}"
+        for b in range(4)
+    )
+    return (
+        f"WITH ways AS ({base.WAYS_SQL}), "
+        f"seg AS (SELECT {cls} AS cls, {mx} AS mx, {my} AS my"
+        f" FROM ways, unnest(range(2, len(xs) + 1)) t(i)"
+        f" WHERE NOT ({dx0} = 0 AND {dy0} = 0)) "
+        f"SELECT CAST(floor(({geo.mercator_x_sql('mx')}) / {size})"
+        f" AS BIGINT) AS tx,"
+        f" CAST(floor(({geo.mercator_y_sql('my')}) / {size})"
+        f" AS BIGINT) AS ty,"
+        f" CAST(count(*) AS BIGINT) AS n_segs, {octs}"
+        f" FROM seg GROUP BY 1, 2"
+    )
+
+
+QUERIES["grid_orientation"] = (q_grid_orientation, _sql_grid_orientation())
