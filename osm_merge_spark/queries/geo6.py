@@ -1607,3 +1607,77 @@ def _sql_grid_orientation() -> str:
 
 
 QUERIES["grid_orientation"] = (q_grid_orientation, _sql_grid_orientation())
+
+
+# ---------------------------------------------------------------------------
+# road_density — way-length raster (meters of way per map cell)
+# ---------------------------------------------------------------------------
+# The infrastructure-density layer every coverage/equity analysis starts
+# from (and grid_orientation's magnitude complement — that query counts
+# segments, this one measures them). Per-segment haversine length floors
+# to INTEGER MILLIMETERS before the cell rollup: float sums are
+# summation-order-dependent (Spark's hash agg vs DuckDB's group order
+# WOULD diverge), integer sums are exact in any order — the same
+# quantize-then-aggregate discipline as the e6 score columns. Segment →
+# cell by midpoint (documented convention; at 5 km cells vs ≤0.1° ways
+# the boundary-straddle error is the standard raster tradeoff).
+#
+# Scale shape: ONE posexplode (segments stream map-side off the ways
+# scan), haversine + floor in codegen, one raster-bounded hash-agg with
+# map-side combine. No joins.
+DENS_TILE_M = 5_000.0
+
+
+def q_road_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ways = base.ways_df(spark, sf_dir)
+    seg = ways.select(
+        F.explode(F.sequence(F.lit(2), F.size("xs"))).alias("i"),
+        "xs", "ys",
+    ).select(
+        F.floor(
+            geo.haversine_m(
+                F.element_at("xs", F.col("i") - 1),
+                F.element_at("ys", F.col("i") - 1),
+                F.element_at("xs", F.col("i")),
+                F.element_at("ys", F.col("i")),
+            ) * F.lit(1000.0)
+        ).cast("long").alias("len_mm"),
+        ((F.element_at("xs", F.col("i"))
+          + F.element_at("xs", F.col("i") - 1)) / F.lit(2.0)).alias("mx"),
+        ((F.element_at("ys", F.col("i"))
+          + F.element_at("ys", F.col("i") - 1)) / F.lit(2.0)).alias("my"),
+    )
+    return seg.select(
+        F.floor(geo.mercator_x(F.col("mx")) / F.lit(DENS_TILE_M))
+        .alias("tx"),
+        F.floor(geo.mercator_y(F.col("my")) / F.lit(DENS_TILE_M))
+        .alias("ty"),
+        "len_mm",
+    ).groupBy("tx", "ty").agg(
+        F.count("*").alias("n_segs"),
+        F.sum("len_mm").cast("long").alias("len_mm"),
+    )
+
+
+def _sql_road_density() -> str:
+    size = geo.dlit(DENS_TILE_M)
+    hav = geo.haversine_m_sql("xs[i - 1]", "ys[i - 1]", "xs[i]", "ys[i]")
+    mx = f"((xs[i] + xs[i - 1]) / {geo.dlit(2.0)})"
+    my = f"((ys[i] + ys[i - 1]) / {geo.dlit(2.0)})"
+    return (
+        f"WITH ways AS ({base.WAYS_SQL}), "
+        f"seg AS (SELECT"
+        f" CAST(floor(({hav}) * {geo.dlit(1000.0)}) AS BIGINT) AS len_mm,"
+        f" {mx} AS mx, {my} AS my"
+        f" FROM ways, unnest(range(2, len(xs) + 1)) t(i)) "
+        f"SELECT CAST(floor(({geo.mercator_x_sql('mx')}) / {size})"
+        f" AS BIGINT) AS tx,"
+        f" CAST(floor(({geo.mercator_y_sql('my')}) / {size})"
+        f" AS BIGINT) AS ty,"
+        f" CAST(count(*) AS BIGINT) AS n_segs,"
+        f" CAST(sum(len_mm) AS BIGINT) AS len_mm"
+        f" FROM seg GROUP BY 1, 2"
+    )
+
+
+QUERIES["road_density"] = (q_road_density, _sql_road_density())

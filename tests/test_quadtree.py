@@ -245,3 +245,31 @@ def test_grid_orientation_all_classes(spark):
     out = seg_orientation_cells(ways).collect()
     tot = {f"o{b}": sum(r[f"o{b}"] for r in out) for b in range(4)}
     assert tot == {"o0": 1, "o1": 1, "o2": 1, "o3": 1}
+
+
+def test_road_density_conserves_length(spark, sf_dir):
+    # Σ cell lengths == Σ way lengths (mm-floored per segment, so compare
+    # against the same per-segment flooring, not way_length's rounded sum)
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries import base
+    from osm_merge_spark.queries.geo6 import q_road_density
+    from osm_merge_spark.functions import geo
+
+    out = q_road_density(spark, sf_dir)
+    got = out.agg(F.sum("len_mm").alias("s"),
+                  F.sum("n_segs").alias("n")).collect()[0]
+    ways = base.ways_df(spark, sf_dir)
+    seg = ways.select(
+        F.explode(F.sequence(F.lit(2), F.size("xs"))).alias("i"), "xs", "ys"
+    ).select(
+        F.floor(geo.haversine_m(
+            F.element_at("xs", F.col("i") - 1),
+            F.element_at("ys", F.col("i") - 1),
+            F.element_at("xs", F.col("i")),
+            F.element_at("ys", F.col("i")),
+        ) * F.lit(1000.0)).cast("long").alias("mm")
+    )
+    exp = seg.agg(F.sum("mm").alias("s"), F.count("*").alias("n")).collect()[0]
+    assert got["s"] == exp["s"] and got["n"] == exp["n"]
+    assert got["s"] > 0
