@@ -968,3 +968,124 @@ def _sql_emb_outliers() -> str:
 
 
 QUERIES["emb_outliers"] = (q_emb_outliers, _sql_emb_outliers())
+
+
+# ---------------------------------------------------------------------------
+# kmeans_rounds — oracle-EXACT Lloyd training (the VQ trainer, verified)
+# ---------------------------------------------------------------------------
+# ivf_train runs float Lloyd iterations driver-mediated and is verified
+# downstream (ivf_recall audits the SEARCH); this makes the TRAINING loop
+# itself bit-exact and oracle-checked: vectors quantize to e3 ints, each
+# round assigns to the integer-squared-distance argmin (ties → smaller
+# centroid id) and updates centroids by integer-divided per-dim means
+# (Σq div n — stays in e3 scale; Spark `div` and DuckDB `//` BOTH
+# truncate toward zero, verified -7//2 = -3, so negative sums agree —
+# python's floor-// does NOT, see the test replica), so Spark and DuckDB
+# agree on every centroid of every round. Init = the K lowest-id vectors (ivf_train's
+# own convention). A cluster emptied mid-round simply drops out of both
+# engines identically. R static rounds, ONE lazy plan.
+#
+# Scale shape per round: the assign step is a K-row BROADCAST join (the
+# textbook bounded dimension — centroids, not corpus) + a hash-agg argmin
+# via min(struct) (no window); the update is one hash-agg of D sums keyed
+# by cluster (map-side combined, D+1 longs per cluster per task). The
+# per-pair distance here is the HOF fold — interpreted, fine for K·D
+# = 512 multiplies/row at any scale; the Arrow matmul kernel twin
+# (operators/similarity.ivf_assign) is the drop-in when K grows.
+KM_K = 8
+KM_R = 2
+
+
+def _km_quant(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda e: F.floor(e.cast("double") * F.lit(EMB_Q3)).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _km_assign(qv: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, q) × (c, cq) → (vec_id, cluster, d2) by integer argmin."""
+    d2 = F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    scored = qv.join(F.broadcast(cents)).select(
+        "vec_id", "c", d2.alias("d2")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "c")).alias("m")
+    ).select(
+        "vec_id", F.col("m.c").alias("cluster"), F.col("m.d2").alias("d2")
+    )
+
+
+def _km_update(qv: DataFrame, asg: DataFrame) -> DataFrame:
+    j = qv.join(asg.hint("shuffle_hash").select("vec_id", "cluster"),
+                "vec_id")
+    sums = [F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(DIM)]
+    agg = j.groupBy("cluster").agg(F.count("*").alias("n"), *sums)
+    arr = F.array(*[
+        F.expr(f"CAST(s{i} div n AS BIGINT)") for i in range(DIM)
+    ])
+    return agg.select(F.col("cluster").alias("c"), arr.alias("cq"))
+
+
+def q_kmeans_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _km_quant(_emb(spark, sf_dir))
+    cents = qv.where(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").cast("int").alias("c"), F.col("q").alias("cq")
+    )
+    for _ in range(KM_R):
+        asg = _km_assign(qv, cents)
+        cents = _km_update(qv, asg)
+    final = _km_assign(qv, cents)
+    return final.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "d2"
+    )
+
+
+def _sql_kmeans_rounds() -> str:
+    from ..functions.geo import dlit
+
+    q = dlit(EMB_Q3)
+    head = (
+        "WITH x AS (SELECT vec_id,"
+        f" CAST(floor(unnest(embedding) * {q}) AS BIGINT) AS v,"
+        " generate_subscripts(embedding, 1) AS k FROM embeddings), "
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS c, k, v AS cv FROM x"
+        f" WHERE vec_id < {KM_K})"
+    )
+    body = ""
+    for i in range(1, KM_R + 1):
+        body += (
+            f", d{i} AS (SELECT x.vec_id, c.c,"
+            f" sum((x.v - c.cv) * (x.v - c.cv)) AS d2"
+            f" FROM x JOIN c{i-1} c ON c.k = x.k GROUP BY 1, 2)"
+            f", a{i} AS (SELECT vec_id, c AS cluster FROM ("
+            f" SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY d2 ASC, c ASC) AS rn FROM d{i}) t WHERE rn = 1)"
+            f", n{i} AS (SELECT cluster, count(*) AS n FROM a{i}"
+            f" GROUP BY 1)"
+            f", c{i} AS (SELECT CAST(a.cluster AS INT) AS c, x.k,"
+            f" CAST(sum(x.v) // max(n.n) AS BIGINT) AS cv"
+            f" FROM x JOIN a{i} a ON a.vec_id = x.vec_id"
+            f" JOIN n{i} n ON n.cluster = a.cluster"
+            f" GROUP BY 1, 2)"
+        )
+    r = KM_R
+    return (
+        head + body
+        + f", df AS (SELECT x.vec_id, c.c,"
+        f" sum((x.v - c.cv) * (x.v - c.cv)) AS d2"
+        f" FROM x JOIN c{r} c ON c.k = x.k GROUP BY 1, 2) "
+        f"SELECT vec_id, CAST(c AS INT) AS cluster, CAST(d2 AS BIGINT)"
+        f" AS d2 FROM (SELECT vec_id, c, d2, row_number() OVER ("
+        f" PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn FROM df) t"
+        f" WHERE rn = 1"
+    )
+
+
+QUERIES["kmeans_rounds"] = (q_kmeans_rounds, _sql_kmeans_rounds())
