@@ -1151,3 +1151,54 @@ def _sql_key_skew() -> str:
 
 
 QUERIES["key_skew"] = (q_key_skew, _sql_key_skew())
+
+
+# ---------------------------------------------------------------------------
+# assoc_pairs — market-basket pair support (the a-priori first pass)
+# ---------------------------------------------------------------------------
+# Classic co-purchase mining: for every unordered item pair, in how many
+# BASKETS (orders) do both appear — the support table the a-priori /
+# FP-growth ladder and every "frequently bought together" feature start
+# from. Distinct-ify items per basket first (a line-item repeat must not
+# double-count the basket), then one self-equi-join on the basket key
+# with a < b, one hash-agg. Differs from the graph fixture's edge builder
+# (khop's _cooccur_edges takes CONSECUTIVE lines only); this takes all
+# within-basket pairs — the real support semantics.
+#
+# Scale shape: the pair fan-out is C(basket_size, 2), bounded by the
+# basket-size cap (≤7 lineitems in this schema, ~dozens in a real cart —
+# a DOCUMENTED model bound, not a corpus bound; a-priori's candidate
+# pruning is the standard fix when baskets are huge). Both join sides are
+# the same corpus-scale table: shuffled-hash on the basket key, nothing
+# broadcasts; min-support filter applies AFTER the map-side-combined agg.
+ASSOC_MIN_SUPPORT = 3
+
+
+def q_assoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_partkey").alias("pk"),
+    ).distinct()
+    a = li.select("okey", F.col("pk").alias("a"))
+    b = li.select("okey", F.col("pk").alias("b"))
+    return (
+        a.join(b.hint("shuffle_hash"), "okey")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= F.lit(ASSOC_MIN_SUPPORT))
+    )
+
+
+def _sql_assoc_pairs() -> str:
+    return (
+        "WITH li AS (SELECT DISTINCT l_orderkey AS okey,"
+        " l_partkey AS pk FROM lineitem) "
+        "SELECT a.pk AS a, b.pk AS b,"
+        " CAST(count(*) AS BIGINT) AS support"
+        " FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk"
+        f" GROUP BY 1, 2 HAVING count(*) >= {ASSOC_MIN_SUPPORT}"
+    )
+
+
+QUERIES["assoc_pairs"] = (q_assoc_pairs, _sql_assoc_pairs())

@@ -436,3 +436,59 @@ def _sql_lm_quality() -> str:
 
 
 QUERIES["lm_quality"] = (q_lm_quality, _sql_lm_quality())
+
+
+# ---------------------------------------------------------------------------
+# bpe_pairs — BPE tokenizer training, step one: adjacent-symbol pair counts
+# ---------------------------------------------------------------------------
+# The first (and per-merge repeated) operation of byte-pair-encoding
+# tokenizer training: count adjacent CHARACTER pairs across the corpus —
+# the argmax pair becomes the next merge rule. Within-word pairs only
+# (the standard pre-tokenized setup; no </w> marker — documented
+# convention), so the count table is bounded by alphabet², not corpus
+# size. token_count measures tokens; this trains the tokenizer that
+# defines them.
+#
+# Scale shape: words explode map-side off the documents scan (already the
+# engine's cheapest explode family), each word emits len-1 pair rows via
+# a second lateral sequence, then ONE hash-agg with map-side combine onto
+# the alphabet²-bounded key space — at 100 TB the combine collapses
+# virtually everything before the shuffle (a few thousand distinct keys
+# per task). No joins, no windows.
+BPE_MIN_COUNT = 5  # drop the noise tail (rule stated in both engines)
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        F.explode(text.words(F.col("text"))).alias("w")
+    ).where(F.length("w") > 1)  # sequence(1, 0) DESCENDS in Spark — a
+    #                             1-char word would emit phantom pairs
+    pairs = w.select(
+        F.explode(
+            F.expr("sequence(1, length(w) - 1)")
+        ).alias("i"), "w",
+    ).select(
+        F.substring(F.col("w"), F.col("i").cast("int"), 1)
+        .alias("a"),
+        F.expr("substring(w, i + 1, 1)").alias("b"),
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= F.lit(BPE_MIN_COUNT))
+    )
+
+
+def _sql_bpe_pairs() -> str:
+    ws = text.words_sql("text")
+    return (
+        f"WITH w AS (SELECT unnest({ws}) AS w FROM documents), "
+        f"p AS (SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b"
+        f" FROM w, unnest(range(1, len(w))) t(i) WHERE len(w) > 1) "
+        f"SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM p"
+        f" GROUP BY a, b HAVING count(*) >= {BPE_MIN_COUNT}"
+    )
+
+
+QUERIES["bpe_pairs"] = (q_bpe_pairs, _sql_bpe_pairs())

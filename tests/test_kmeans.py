@@ -63,3 +63,46 @@ def test_kmeans_assignment_invariants(spark, sf_dir):
     assert agg[2] >= 0
     # the trainer must actually separate: more than one surviving cluster
     assert df.select("cluster").distinct().count() > 1
+
+
+def test_bpe_pairs_planted(spark):
+    # hand corpus: "aba ab b" → within-word pairs: ab, ba, ab → counts
+    # ab:2, ba:1; one-char word emits nothing (the sequence(1,0) guard)
+    from osm_merge_spark.queries.text2 import q_bpe_pairs
+
+    import osm_merge_spark.queries.text2 as t2
+    docs = spark.createDataFrame(
+        [(1, "aba ab b")], ["doc_id", "text"])
+    import unittest.mock as mock
+    with mock.patch.object(t2, "_docs", lambda s, d: docs), \
+         mock.patch.object(t2, "BPE_MIN_COUNT", 1):
+        out = {(r.a, r.b): r.cnt
+               for r in q_bpe_pairs(spark, "ignored").collect()}
+    assert out == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_assoc_pairs_planted(spark, sf_dir):
+    # support is BASKET count: repeats inside one order never double-count;
+    # pairs are canonical a < b
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries.relational import (
+        ASSOC_MIN_SUPPORT, q_assoc_pairs,
+    )
+
+    out = q_assoc_pairs(spark, sf_dir)
+    assert out.where(F.col("a") >= F.col("b")).count() == 0
+    assert out.where(F.col("support") < ASSOC_MIN_SUPPORT).count() == 0
+    # support can never exceed the number of baskets containing the rarer
+    # item: check against single-item basket counts
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    item = li.groupBy("pk").agg(F.count("*").alias("n1"))
+    j = (
+        out.join(item.withColumnRenamed("pk", "a"), "a")
+        .withColumnRenamed("n1", "na")
+        .join(item.withColumnRenamed("pk", "b"), "b")
+    )
+    assert j.where((F.col("support") > F.col("na"))
+                   | (F.col("support") > F.col("n1"))).count() == 0
