@@ -1681,3 +1681,105 @@ def _sql_road_density() -> str:
 
 
 QUERIES["road_density"] = (q_road_density, _sql_road_density())
+
+
+# ---------------------------------------------------------------------------
+# spatial_folds — checkerboard CV split + cross-fold leakage audit
+# ---------------------------------------------------------------------------
+# Random train/test splits LEAK for geodata: a test image 3 m from a train
+# image is effectively memorized (the spatial-autocorrelation trap; block
+# cross-validation is the standard fix). This assigns every image to one
+# of 4 checkerboard folds on a 20 km block lattice and AUDITS the split:
+# how many image pairs within the conflation threshold straddle folds —
+# the number a leakage-safe split must drive toward the block-boundary
+# minimum. cluster_split is the hash (random) splitter; this is its
+# spatial twin plus the metric that says WHY it exists.
+#
+# Scale shape: the same ring-1 cell self-join discipline as dist_join
+# (each unordered pair meets exactly once: single-cell probe side ×
+# ring-dilated build side + ikey ordering), shuffled-hash on the cell
+# key, exact haversine refine in codegen, then a hash-agg onto ≤6
+# fold-pair keys. Folds from integer block parity ((v % 2 + 2) % 2 —
+# Spark and DuckDB % both follow the dividend sign, normalized
+# identically).
+FOLD_BLOCK_M = 20_000.0
+
+
+def _fold_expr(lon, lat):
+    bx = F.floor(geo.mercator_x(lon) / F.lit(FOLD_BLOCK_M))
+    by = F.floor(geo.mercator_y(lat) / F.lit(FOLD_BLOCK_M))
+    return (
+        ((bx % 2 + 2) % 2) * 2 + ((by % 2 + 2) % 2)
+    ).cast("int")
+
+
+def q_spatial_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo import GRID
+
+    img = base.images_df(spark, sf_dir)
+    p = img.select(
+        F.col("ikey").alias("ia"), F.col("lon").alias("la"),
+        F.col("lat").alias("pa"),
+        _fold_expr(F.col("lon"), F.col("lat")).alias("fa"),
+        GRID.encode(F.col("lon"), F.col("lat")).alias("jcell"),
+    )
+    s = img.select(
+        F.col("ikey").alias("ib"), F.col("lon").alias("lb"),
+        F.col("lat").alias("pb"),
+        _fold_expr(F.col("lon"), F.col("lat")).alias("fb"),
+        F.explode(
+            GRID.ring1(GRID.encode(F.col("lon"), F.col("lat")))
+        ).alias("jcell"),
+    )
+    pairs = (
+        p.join(s.hint("shuffle_hash"), "jcell")
+        .where(F.col("ia") < F.col("ib"))
+        .where(
+            geo.haversine_m(F.col("la"), F.col("pa"),
+                            F.col("lb"), F.col("pb"))
+            <= F.lit(base.THRESHOLD_M)
+        )
+        .where(F.col("fa") != F.col("fb"))
+    )
+    return pairs.select(
+        F.least("fa", "fb").alias("fold_a"),
+        F.greatest("fa", "fb").alias("fold_b"),
+    ).groupBy("fold_a", "fold_b").agg(
+        F.count("*").cast("long").alias("n_leak")
+    )
+
+
+def _sql_spatial_folds() -> str:
+    from .geo import GRID
+
+    block = geo.dlit(FOLD_BLOCK_M)
+
+    def fold(lon, lat):
+        bx = f"floor(({geo.mercator_x_sql(lon)}) / {block})"
+        by = f"floor(({geo.mercator_y_sql(lat)}) / {block})"
+        return (
+            f"CAST(((CAST({bx} AS BIGINT) % 2 + 2) % 2) * 2"
+            f" + ((CAST({by} AS BIGINT) % 2 + 2) % 2) AS INT)"
+        )
+
+    offs = ", ".join(str(o) for o in GRID.ring1_sql_values())
+    hav = geo.haversine_m_sql("la", "pa", "lb", "pb")
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"p AS (SELECT ikey AS ia, lon AS la, lat AS pa,"
+        f" {fold('lon', 'lat')} AS fa,"
+        f" {GRID.encode_sql('lon', 'lat')} AS jcell FROM img), "
+        f"s0 AS (SELECT ikey AS ib, lon AS lb, lat AS pb,"
+        f" {fold('lon', 'lat')} AS fb,"
+        f" {GRID.encode_sql('lon', 'lat')} AS cell0 FROM img), "
+        f"s AS (SELECT ib, lb, pb, fb, cell0 + off AS jcell FROM s0"
+        f" CROSS JOIN (SELECT unnest([{offs}]) AS off) o), "
+        f"pairs AS (SELECT fa, fb FROM p JOIN s USING (jcell)"
+        f" WHERE ia < ib AND {hav} <= {geo.dlit(base.THRESHOLD_M)}"
+        f" AND fa != fb) "
+        f"SELECT least(fa, fb) AS fold_a, greatest(fa, fb) AS fold_b,"
+        f" CAST(count(*) AS BIGINT) AS n_leak FROM pairs GROUP BY 1, 2"
+    )
+
+
+QUERIES["spatial_folds"] = (q_spatial_folds, _sql_spatial_folds())

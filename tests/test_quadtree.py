@@ -273,3 +273,31 @@ def test_road_density_conserves_length(spark, sf_dir):
     exp = seg.agg(F.sum("mm").alias("s"), F.count("*").alias("n")).collect()[0]
     assert got["s"] == exp["s"] and got["n"] == exp["n"]
     assert got["s"] > 0
+
+
+def test_spatial_folds_planted_leak(spark):
+    # two points 4 m apart straddling a 20 km block boundary in x must
+    # report exactly one cross-fold pair; two points 4 m apart INSIDE one
+    # block report nothing
+    import math
+    import unittest.mock as mock
+
+    import osm_merge_spark.queries.geo6 as g6
+    from osm_merge_spark.functions.geo import WEB_MERCATOR_R
+    from osm_merge_spark.queries.geo6 import FOLD_BLOCK_M, q_spatial_folds
+
+    # lon where mercator x crosses block 1 → 2 (at 2×20 km)
+    lon_b = math.degrees(2 * FOLD_BLOCK_M / WEB_MERCATOR_R)
+    d = math.degrees(2.0 / (WEB_MERCATOR_R * math.pi / 180.0) / 1.0)  # ~2 m
+    d = 2.0 / 111_320.0  # 2 m in degrees of longitude at the equator
+    rows = [
+        (1, lon_b - d, 0.0),       # block 1 side
+        (2, lon_b + d, 0.0),       # block 2 side — leak pair with 1
+        (3, lon_b + 0.05, 0.0),    # deep inside block 2
+        (4, lon_b + 0.05 + d, 0.0),  # near 3, same fold — not a leak
+    ]
+    img = spark.createDataFrame(rows, ["ikey", "lon", "lat"])
+    with mock.patch.object(g6.base, "images_df", lambda s, sf: img):
+        out = q_spatial_folds(spark, "ignored").collect()
+    assert len(out) == 1
+    assert out[0].n_leak == 1
