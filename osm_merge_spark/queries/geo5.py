@@ -1280,3 +1280,112 @@ def _sql_hog_hist() -> str:
 
 
 QUERIES["hog_hist"] = (q_hog_hist, _sql_hog_hist())
+
+
+# ---------------------------------------------------------------------------
+# gps_spikes — single-fix outlier detection (the A-B-A telemetry cleaner)
+# ---------------------------------------------------------------------------
+# The first cleaning pass of every GPS/telemetry ingest: a fix whose legs
+# to BOTH neighbors exceed the spike gate while the neighbors sit close to
+# each other is a reflection/multipath artifact, not motion — drop it and
+# the trace heals (the A-B-A test; speed gates need timestamps, this form
+# doesn't). Spikes are PLANTED in the fixture (trace_id % 5 displaces
+# point 12 by +0.01° ≈ 1.1 km against ~100 m legs), so the detector's
+# output is exact planted truth, not an empty-result vacuity. Distances
+# floor to integer mm (order-independent, engine-exact).
+#
+# Scale shape: pure array arithmetic — one lateral explode of interior
+# indices, three haversines per fix in codegen, no windows (the neighbors
+# live in the SAME row's arrays), no joins, no shuffle at all before the
+# (tiny) output.
+# Gate sits between the spiked point's neighbor gap (p11→p13 spans the
+# dwell exit, ~1022 m measured) and the spike legs (~3-4 km): natural
+# commute legs reach 19.5 km but their skip ≈ leg sum (forward motion),
+# so the ds<gate arm rejects them — measured, the reason the A-B-A form
+# needs no speed/timestamp at all.
+SPIKE_GATE_M = 1_500.0
+SPIKE_EVERY = 5       # trace_id % SPIKE_EVERY == 0 gets the planted spike
+SPIKE_IDX = 12
+SPIKE_OFF_DEG = 0.05
+
+
+def _spiked_trace_df(spark: SparkSession, sf_dir: str):
+    tr = _dwell_trace_df(spark, sf_dir)
+    return tr.select(
+        "trace_id",
+        F.when(
+            F.col("trace_id") % SPIKE_EVERY == 0,
+            F.transform(
+                "xs",
+                lambda x, j: F.when(
+                    j == SPIKE_IDX - 1, x + F.lit(SPIKE_OFF_DEG)
+                ).otherwise(x),
+            ),
+        ).otherwise(F.col("xs")).alias("xs"),
+        "ys",
+    )
+
+
+def q_gps_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import geo
+
+    tr = _spiked_trace_df(spark, sf_dir)
+    pts = tr.select(
+        "trace_id",
+        F.explode(F.sequence(F.lit(2), F.lit(SP_N - 1))).alias("i"),
+        "xs", "ys",
+    )
+
+    def hav(i1, i2):
+        return geo.haversine_m(
+            F.element_at("xs", i1), F.element_at("ys", i1),
+            F.element_at("xs", i2), F.element_at("ys", i2),
+        )
+
+    i = F.col("i")
+    d_prev = hav(i - 1, i)
+    d_next = hav(i, i + 1)
+    d_skip = hav(i - 1, i + 1)
+    g = F.lit(SPIKE_GATE_M)
+    return pts.where(
+        (d_prev > g) & (d_next > g) & (d_skip < g)
+    ).select(
+        "trace_id",
+        F.col("i").cast("int").alias("spike_idx"),
+        F.floor(d_prev * F.lit(1000.0)).cast("long").alias("leg_in_mm"),
+        F.floor(d_next * F.lit(1000.0)).cast("long").alias("leg_out_mm"),
+    )
+
+
+def _sql_gps_spikes() -> str:
+    from ..functions.geo import dlit as _dlit
+    from ..functions.geo import haversine_m_sql
+
+    spiked_xs = (
+        f"CASE WHEN trace_id % {SPIKE_EVERY} = 0 THEN"
+        f" list_transform(list_zip(xs, range(1, len(xs) + 1)),"
+        f" s -> CASE WHEN s[2] = {SPIKE_IDX}"
+        f" THEN s[1] + {_dlit(SPIKE_OFF_DEG)} ELSE s[1] END)"
+        f" ELSE xs END"
+    )
+    hv = haversine_m_sql
+    d_prev = hv("xs[i - 1]", "ys[i - 1]", "xs[i]", "ys[i]")
+    d_next = hv("xs[i]", "ys[i]", "xs[i + 1]", "ys[i + 1]")
+    d_skip = hv("xs[i - 1]", "ys[i - 1]", "xs[i + 1]", "ys[i + 1]")
+    g = _dlit(SPIKE_GATE_M)
+    return (
+        f"WITH tr0 AS ({dwell_trace_sql()}), "
+        f"tr AS (SELECT trace_id, {spiked_xs} AS xs, ys FROM tr0), "
+        f"pts AS (SELECT trace_id, i, xs, ys FROM tr,"
+        f" unnest(range(2, {SP_N})) t(i)) "
+        f"SELECT trace_id, CAST(i AS INT) AS spike_idx,"
+        f" CAST(floor(({d_prev}) * {_dlit(1000.0)}) AS BIGINT)"
+        f" AS leg_in_mm,"
+        f" CAST(floor(({d_next}) * {_dlit(1000.0)}) AS BIGINT)"
+        f" AS leg_out_mm"
+        f" FROM pts WHERE ({d_prev}) > {g} AND ({d_next}) > {g}"
+        f" AND ({d_skip}) < {g}"
+    )
+
+
+QUERIES["gps_spikes"] = (q_gps_spikes, _sql_gps_spikes())

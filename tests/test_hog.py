@@ -53,3 +53,20 @@ def test_hog_matches_direct_numpy(spark, sf_dir):
         F.col("image_id") == "img-7").collect()[0]
     assert [got[f"o{b}"] for b in range(8)] == exp
     assert got["n_flat"] == n_flat
+
+
+def test_gps_spikes_exact_planted_set(spark, sf_dir):
+    # every trace_id % SPIKE_EVERY == 0 yields EXACTLY one spike at
+    # SPIKE_IDX; no other (trace, idx) ever fires
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.queries.geo5 import (
+        SPIKE_EVERY, SPIKE_IDX, _dwell_trace_df, q_gps_spikes,
+    )
+
+    out = q_gps_spikes(spark, sf_dir)
+    n_traces = _dwell_trace_df(spark, sf_dir).count()
+    expected = {t for t in range(n_traces) if t % SPIKE_EVERY == 0}
+    got = {(r.trace_id, r.spike_idx) for r in out.collect()}
+    assert got == {(t, SPIKE_IDX) for t in expected}
+    assert out.where(F.col("leg_in_mm") <= 1_500_000).count() == 0
