@@ -1202,3 +1202,142 @@ def _sql_assoc_pairs() -> str:
 
 
 QUERIES["assoc_pairs"] = (q_assoc_pairs, _sql_assoc_pairs())
+
+
+# ---------------------------------------------------------------------------
+# tpch_q3 — shipping-priority: the 3-table star join + top-10
+# ---------------------------------------------------------------------------
+# Rounds out the TPC-H trio (Q1 scan-agg, Q5 5-table star): customer ⋈
+# orders ⋈ lineitem with selective filters on BOTH outer sides, revenue in
+# e6 fixed-point (floored per row BEFORE the sum — order-independent,
+# engine-exact), deterministic top-10 by (revenue DESC, orderkey ASC) via
+# the engine's hash-agg top-k doctrine... except the cap here is GLOBAL,
+# not per-group: a global top-10 of a grouped result is one final
+# single-reducer heap over the already-aggregated (small) rows — the
+# shape Spark's TakeOrderedAndProject handles without a full sort of the
+# corpus. Dates as literal bounds push into the parquet scan.
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-15"  # mid-range for this testdata's 1995-2001 span
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    ).select("c_custkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp_ntz")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp_ntz")
+    ).select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            * F.lit(1.0e6)
+        ).cast("long").alias("rev_e6"),
+    )
+    j = (
+        li.join(orders.hint("shuffle_hash"),
+                li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum("rev_e6").alias("revenue_e6")
+    )
+    return (
+        agg.orderBy(F.col("revenue_e6").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey", "revenue_e6",
+            F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+            .cast("int").alias("odate_epoch_day"),
+            "o_orderpriority",
+        )
+    )
+
+
+def _sql_tpch_q3() -> str:
+    return (
+        "WITH j AS (SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,"
+        " CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1.0e6)"
+        " AS BIGINT) AS rev_e6"
+        " FROM lineitem l"
+        " JOIN orders o ON o.o_orderkey = l.l_orderkey"
+        " JOIN customer c ON c.c_custkey = o.o_custkey"
+        f" WHERE c.c_mktsegment = '{Q3_SEGMENT}'"
+        f" AND o.o_orderdate < TIMESTAMP '{Q3_DATE}'"
+        f" AND l.l_shipdate > TIMESTAMP '{Q3_DATE}'), "
+        "agg AS (SELECT l_orderkey, o_orderdate, o_orderpriority,"
+        " CAST(sum(rev_e6) AS BIGINT) AS revenue_e6 FROM j"
+        " GROUP BY 1, 2, 3) "
+        "SELECT l_orderkey, revenue_e6,"
+        " CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT)"
+        " AS odate_epoch_day, o_orderpriority"
+        " FROM agg ORDER BY revenue_e6 DESC, l_orderkey ASC LIMIT 10"
+    )
+
+
+QUERIES["tpch_q3"] = (q_tpch_q3, _sql_tpch_q3())
+
+
+# ---------------------------------------------------------------------------
+# table_fingerprint — order-independent whole-table checksum (anti-entropy)
+# ---------------------------------------------------------------------------
+# The replication/migration audit primitive: one row per audited table with
+# its row count and an order-independent content fingerprint — two sides
+# of a copy (engine vs oracle, cluster A vs B, snapshot vs restore) match
+# iff counts AND fingerprints match. Fingerprint = bit_xor of a
+# per-row md5-derived 60-bit integer over a canonical string form: XOR is
+# commutative/associative, so partition order, shuffle order, and engine
+# never matter; md5 (not xxhash) because BOTH engines must derive the
+# identical per-row value. The known XOR weakness — a row appearing twice
+# cancels — is exactly why row_count ships alongside.
+#
+# Scale shape: one map-side-combined agg per table (XOR and count both
+# combine associatively); the shuffle carries ONE row per table per task.
+
+
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import hashes
+
+    specs = {
+        "region": ["r_regionkey", "r_name"],
+        "nation": ["n_nationkey", "n_name", "n_regionkey"],
+        "customer": ["c_custkey", "c_name", "c_nationkey"],
+        "part": ["p_partkey", "p_name"],
+    }
+    out = None
+    for t, cols in specs.items():
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        row = hashes.md5i(F.concat_ws("\x1f", *[F.col(c) for c in cols]), 15)
+        one = df.select(row.alias("h")).agg(
+            F.count("*").cast("long").alias("row_count"),
+            F.expr("bit_xor(h)").alias("fingerprint"),
+        ).select(F.lit(t).alias("tbl"), "row_count", "fingerprint")
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def _sql_table_fingerprint() -> str:
+    from ..functions import hashes
+
+    specs = {
+        "region": ["r_regionkey", "r_name"],
+        "nation": ["n_nationkey", "n_name", "n_regionkey"],
+        "customer": ["c_custkey", "c_name", "c_nationkey"],
+        "part": ["p_partkey", "p_name"],
+    }
+    parts = []
+    for t, cols in specs.items():
+        concat = " || chr(31) || ".join(
+            f"CAST({c} AS VARCHAR)" for c in cols
+        )
+        h = hashes.md5i_sql(concat, 15)
+        parts.append(
+            f"SELECT '{t}' AS tbl, CAST(count(*) AS BIGINT) AS row_count,"
+            f" CAST(bit_xor({h}) AS BIGINT) AS fingerprint FROM {t}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+QUERIES["table_fingerprint"] = (q_table_fingerprint, _sql_table_fingerprint())

@@ -106,3 +106,38 @@ def test_assoc_pairs_planted(spark, sf_dir):
     )
     assert j.where((F.col("support") > F.col("na"))
                    | (F.col("support") > F.col("n1"))).count() == 0
+
+
+def test_tpch_q3_top10_deterministic(spark, sf_dir):
+    from osm_merge_spark.queries.relational import q_tpch_q3
+
+    rows = q_tpch_q3(spark, sf_dir).collect()
+    assert len(rows) == 10
+    revs = [(r.revenue_e6, r.l_orderkey) for r in rows]
+    # descending revenue, orderkey ascending on ties
+    assert revs == sorted(revs, key=lambda t: (-t[0], t[1]))
+
+
+def test_table_fingerprint_detects_change(spark, sf_dir):
+    # same table → identical fingerprint; dropping one row flips it while
+    # keeping the XOR of the remainder consistent (removed_row_hash =
+    # fp_full XOR fp_without)
+    from pyspark.sql import functions as F
+
+    from osm_merge_spark.functions import hashes
+    from osm_merge_spark.queries.relational import q_table_fingerprint
+
+    fp = {r.tbl: (r.row_count, r.fingerprint)
+          for r in q_table_fingerprint(spark, sf_dir).collect()}
+    assert set(fp) == {"region", "nation", "customer", "part"}
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    row = hashes.md5i(
+        F.concat_ws("\x1f", "n_nationkey", "n_name", "n_regionkey"), 15
+    )
+    hashes_all = [r.h for r in nat.select(row.alias("h")).collect()]
+    import functools
+    import operator
+    full = functools.reduce(operator.xor, hashes_all)
+    assert full == fp["nation"][1]
+    without = functools.reduce(operator.xor, hashes_all[1:], 0)
+    assert without == full ^ hashes_all[0]
