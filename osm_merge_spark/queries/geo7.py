@@ -699,3 +699,118 @@ def _sql_quadtree_split() -> str:
 
 
 QUERIES["quadtree_split"] = (q_quadtree_split, _sql_quadtree_split())
+
+
+# ---------------------------------------------------------------------------
+# dbscan_core — density-based clustering classification (DBSCAN eps-graph):
+# every image is labeled core / border / noise at (eps, minPts). This is the
+# clustering family the engine lacked: kmeans_rounds partitions by nearest
+# centroid (convex, count-balanced), DBSCAN finds arbitrary-shape dense
+# regions and — critically for a capture-QA pipeline — names the NOISE, the
+# isolated captures that no dedup/diversity pass should treat as redundant.
+#
+# Reference scope: the reference conflates by per-feature distance gates
+# (conflator.py:357) and has no density notion; planners eyeball QGIS
+# heatmaps instead. Here density classification is one declarative plan.
+#
+# Scale shape (the 100 TB story):
+#   - the eps-graph is materialized as directed candidate pairs via the
+#     standard ring-1 cell self-join (cell edge sized to eps, so ring-1 is
+#     a guaranteed cover): per-point fan-out is 9 cells, never quadratic in
+#     the corpus — quadratic cost is confined INSIDE an eps-cell, the same
+#     bound every density method pays, and hot cells fall under the
+#     engine's salting/AQE-skew doctrine (operators/cell_join.py:289);
+#   - b-side keeps its single cell → each (a,b) pair meets in EXACTLY one
+#     jcell, so no dedup/distinct is needed before the count;
+#   - neighbor counts are one hash agg (map-side combine); core is a
+#     filter on the count; border is one shuffled-hash LEFT SEMI of the
+#     pair stream against the core set (corpus-scale, so never broadcast);
+#   - output is one row per image (key, n_eps, role) — the full labeling,
+#     not a sample. Whole pipeline is codegen'd Catalyst; no UDFs.
+# ---------------------------------------------------------------------------
+DB_EPS_M = base.THRESHOLD_M   # 7 m — the reference's own proximity gate
+DB_MINPTS = 4                 # neighbors excluding self
+
+
+def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = CellGrid.for_radius(DB_EPS_M, max_abs_lat=45.0)
+    img = base.images_df(spark, sf_dir).select("ikey", "lon", "lat")
+
+    a = img.withColumn(
+        "__jcell",
+        F.explode(grid.ring1(grid.encode(F.col("lon"), F.col("lat")))),
+    )
+    b = img.select(
+        F.col("ikey").alias("bkey"),
+        F.col("lon").alias("blon"),
+        F.col("lat").alias("blat"),
+    ).withColumn("__jcell", grid.encode(F.col("blon"), F.col("blat")))
+
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "__jcell")
+        .where(F.col("ikey") != F.col("bkey"))
+        .where(
+            geo.haversine_m(
+                F.col("lon"), F.col("lat"), F.col("blon"), F.col("blat")
+            )
+            <= F.lit(DB_EPS_M)
+        )
+        .select("ikey", "bkey")
+    )
+
+    cnt = pairs.groupBy("ikey").agg(F.count("*").alias("n_eps"))
+    core = cnt.where(F.col("n_eps") >= F.lit(DB_MINPTS)).select(
+        F.col("ikey").alias("bkey")
+    )
+    # border candidates: any point with ≥1 CORE neighbor (semi join keeps
+    # the pair stream slim; distinct collapses multi-core-neighbor points)
+    has_core_nb = (
+        pairs.join(core.hint("shuffle_hash"), "bkey", "left_semi")
+        .select("ikey")
+        .distinct()
+        .withColumn("__hc", F.lit(1))
+    )
+
+    return (
+        img.select("ikey")
+        .join(cnt, "ikey", "left")
+        .join(has_core_nb, "ikey", "left")
+        .select(
+            F.col("ikey").alias("img_key"),
+            F.coalesce(F.col("n_eps"), F.lit(0)).cast("long").alias("n_eps"),
+            F.when(F.coalesce(F.col("n_eps"), F.lit(0)) >= DB_MINPTS, 2)
+            .when(F.col("__hc") == 1, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("role"),
+        )
+    )
+
+
+def _sql_dbscan_core() -> str:
+    grid = CellGrid.for_radius(DB_EPS_M, max_abs_lat=45.0)
+    offs = ", ".join(str(o) for o in grid.ring1_sql_values())
+    hav = geo.haversine_m_sql("a.lon", "a.lat", "b.blon", "b.blat")
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"a AS (SELECT ikey, lon, lat, cell0 + off AS jcell FROM "
+        f"(SELECT ikey, lon, lat, {grid.encode_sql('lon', 'lat')} AS cell0"
+        f" FROM img) t CROSS JOIN (SELECT unnest([{offs}]) AS off) o), "
+        f"b AS (SELECT ikey AS bkey, lon AS blon, lat AS blat,"
+        f" {grid.encode_sql('lon', 'lat')} AS jcell FROM img), "
+        f"pairs AS (SELECT a.ikey, b.bkey FROM a JOIN b USING (jcell)"
+        f" WHERE a.ikey != b.bkey AND ({hav}) <= {geo.dlit(DB_EPS_M)}), "
+        "cnt AS (SELECT ikey, count(*) AS n_eps FROM pairs GROUP BY 1), "
+        f"core AS (SELECT ikey FROM cnt WHERE n_eps >= {DB_MINPTS}), "
+        "hb AS (SELECT DISTINCT p.ikey FROM pairs p"
+        " JOIN core c ON p.bkey = c.ikey) "
+        "SELECT i.ikey AS img_key,"
+        " CAST(coalesce(cnt.n_eps, 0) AS BIGINT) AS n_eps,"
+        f" CAST(CASE WHEN coalesce(cnt.n_eps, 0) >= {DB_MINPTS} THEN 2"
+        " WHEN hb.ikey IS NOT NULL THEN 1 ELSE 0 END AS INT) AS role"
+        " FROM img i LEFT JOIN cnt ON i.ikey = cnt.ikey"
+        " LEFT JOIN hb ON i.ikey = hb.ikey"
+    )
+
+
+QUERIES["dbscan_core"] = (q_dbscan_core, _sql_dbscan_core())
