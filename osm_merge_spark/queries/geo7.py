@@ -772,9 +772,11 @@ def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
+        # both attach sides are corpus-keyed (one row per labeled image at
+        # worst) — shuffled-hash, never SMJ's two full sorts
         img.select("ikey")
-        .join(cnt, "ikey", "left")
-        .join(has_core_nb, "ikey", "left")
+        .join(cnt.hint("shuffle_hash"), "ikey", "left")
+        .join(has_core_nb.hint("shuffle_hash"), "ikey", "left")
         .select(
             F.col("ikey").alias("img_key"),
             F.coalesce(F.col("n_eps"), F.lit(0)).cast("long").alias("n_eps"),
