@@ -816,3 +816,198 @@ def _sql_dbscan_core() -> str:
 
 
 QUERIES["dbscan_core"] = (q_dbscan_core, _sql_dbscan_core())
+
+
+# ---------------------------------------------------------------------------
+# dbscan_label — the full DBSCAN output: every image labeled with its
+# CLUSTER id (core-core connected components over the eps-graph), borders
+# attached to their min-labeled core neighbor, noise = -1. dbscan_core
+# classifies; this clusters — together they are the complete algorithm.
+#
+# Cluster ids come from R STATIC rounds of min-label propagation with
+# pointer jumping (label ← min(self, neighbors); label ← label(label)) —
+# the bounded-round doctrine of pagerank_fixed / sssp_bounded /
+# kmeans_rounds: a deterministic recurrence both engines replay bit-for-bit,
+# so the oracle checks the ALGORITHM, not a lucky fixpoint. Pointer jumping
+# more than doubles reachable depth per round (r ← 2r+1), so R=8 covers
+# component diameters ≥ 500 hops — far beyond the fixture's (test-pinned
+# against the convergence-checked connected_components operator, which is
+# what production would run when R must not be guessed).
+#
+# Scale shape: label table is |core| rows (corpus-scale but SLIM — two
+# longs); each round is one shuffled-hash join against the core-core edge
+# list + one map-side-combined min agg + one self-join jump. No broadcast
+# of anything corpus-scale, no sorts, no windows. Unlike the engine's other
+# bounded-round queries this one is NOT one lazy plan: every round references
+# the previous one twice (union + jump lookup), so lineage is truncated per
+# round with localCheckpoint — the components.py discipline — or the plan
+# tree quadruples per round. The oracle mirrors with AS MATERIALIZED CTEs
+# (DuckDB would otherwise inline the doubly-referenced round CTEs the same
+# exponential way).
+# ---------------------------------------------------------------------------
+DB_CC_ROUNDS = 8
+
+
+def q_dbscan_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = CellGrid.for_radius(DB_EPS_M, max_abs_lat=45.0)
+    img = base.images_df(spark, sf_dir).select("ikey", "lon", "lat")
+
+    a = img.withColumn(
+        "__jcell",
+        F.explode(grid.ring1(grid.encode(F.col("lon"), F.col("lat")))),
+    )
+    b = img.select(
+        F.col("ikey").alias("bkey"),
+        F.col("lon").alias("blon"),
+        F.col("lat").alias("blat"),
+    ).withColumn("__jcell", grid.encode(F.col("blon"), F.col("blat")))
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "__jcell")
+        .where(F.col("ikey") != F.col("bkey"))
+        .where(
+            geo.haversine_m(
+                F.col("lon"), F.col("lat"), F.col("blon"), F.col("blat")
+            )
+            <= F.lit(DB_EPS_M)
+        )
+        .select("ikey", "bkey")
+    )
+
+    cnt = pairs.groupBy("ikey").agg(F.count("*").alias("n_eps"))
+    core = cnt.where(F.col("n_eps") >= F.lit(DB_MINPTS)).select("ikey")
+
+    # core-core eps edges, both directions (pairs is already directed-both)
+    ed = (
+        pairs.join(core.hint("shuffle_hash"), "ikey", "left_semi")
+        .join(
+            core.select(F.col("ikey").alias("bkey")).hint("shuffle_hash"),
+            "bkey",
+            "left_semi",
+        )
+        .select(F.col("ikey").alias("doc"), F.col("bkey").alias("nb"))
+        # edges feed every round — materialize once (same lineage-truncation
+        # move as operators/components.py; without it round i recomputes the
+        # whole eps-graph i times AND the self-referencing round plans nest
+        # exponentially in the optimizer)
+        .localCheckpoint(eager=True)
+    )
+
+    lab = core.select(F.col("ikey").alias("doc"), F.col("ikey").alias("label"))
+    for _ in range(DB_CC_ROUNDS):
+        nb_lab = ed.join(
+            lab.select(
+                F.col("doc").alias("nb"), F.col("label").alias("nl")
+            ).hint("shuffle_hash"),
+            "nb",
+        ).select("doc", F.col("nl").alias("label"))
+        stepped = (
+            lab.unionByName(nb_lab)
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label ← label(label). Every label IS a core vertex
+        # id, so the parent lookup always hits; coalesce is belt-and-braces.
+        parent = stepped.select(
+            F.col("doc").alias("label"), F.col("label").alias("jumped")
+        )
+        lab = (
+            stepped.join(parent.hint("shuffle_hash"), "label", "left")
+            .select(
+                "doc",
+                F.coalesce(F.col("jumped"), F.col("label")).alias("label"),
+            )
+            # each round references the previous TWICE (union + jump lookup):
+            # truncate lineage per round or the plan tree quadruples per
+            # round (4^R). The checkpointed table is |core| rows × 2 longs.
+            .localCheckpoint(eager=True)
+        )
+
+    core_lab = lab.select(F.col("doc").alias("ikey"), F.col("label").alias("cid"))
+    nbc = (
+        pairs.join(
+            core_lab.select(
+                F.col("ikey").alias("bkey"), F.col("cid")
+            ).hint("shuffle_hash"),
+            "bkey",
+        )
+        .groupBy("ikey")
+        .agg(F.min("cid").alias("nb_cid"))
+    )
+
+    return (
+        img.select("ikey")
+        .join(core_lab.hint("shuffle_hash"), "ikey", "left")
+        .join(nbc.hint("shuffle_hash"), "ikey", "left")
+        .select(
+            F.col("ikey").alias("img_key"),
+            F.when(F.col("cid").isNotNull(), F.col("cid"))
+            .when(F.col("nb_cid").isNotNull(), F.col("nb_cid"))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("cluster"),
+            F.when(F.col("cid").isNotNull(), 2)
+            .when(F.col("nb_cid").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("role"),
+        )
+    )
+
+
+def _sql_dbscan_label() -> str:
+    grid = CellGrid.for_radius(DB_EPS_M, max_abs_lat=45.0)
+    offs = ", ".join(str(o) for o in grid.ring1_sql_values())
+    hav = geo.haversine_m_sql("a.lon", "a.lat", "b.blon", "b.blat")
+    ctes = [
+        f"img AS ({base.IMAGES_SQL})",
+        f"a AS (SELECT ikey, lon, lat, cell0 + off AS jcell FROM "
+        f"(SELECT ikey, lon, lat, {grid.encode_sql('lon', 'lat')} AS cell0"
+        f" FROM img) t CROSS JOIN (SELECT unnest([{offs}]) AS off) o)",
+        f"b AS (SELECT ikey AS bkey, lon AS blon, lat AS blat,"
+        f" {grid.encode_sql('lon', 'lat')} AS jcell FROM img)",
+        # pairs/core/ed and every round CTE are referenced 2-3×: force
+        # MATERIALIZED or DuckDB's inlining nests the doubly-referenced
+        # round CTEs exponentially (the SQL twin of the Spark-side
+        # localCheckpoint lineage truncation)
+        f"pairs AS MATERIALIZED (SELECT a.ikey, b.bkey FROM a JOIN b USING (jcell)"
+        f" WHERE a.ikey != b.bkey AND ({hav}) <= {geo.dlit(DB_EPS_M)})",
+        "cnt AS (SELECT ikey, count(*) AS n_eps FROM pairs GROUP BY 1)",
+        f"core AS MATERIALIZED (SELECT ikey FROM cnt WHERE n_eps >= {DB_MINPTS})",
+        "ed AS MATERIALIZED (SELECT p.ikey AS doc, p.bkey AS nb FROM pairs p"
+        " JOIN core c1 ON c1.ikey = p.ikey JOIN core c2 ON c2.ikey = p.bkey)",
+        "l0 AS (SELECT ikey AS doc, ikey AS label FROM core)",
+    ]
+    for r in range(DB_CC_ROUNDS):
+        prev, s, cur = f"l{r}", f"s{r + 1}", f"l{r + 1}"
+        ctes.append(
+            f"{s} AS MATERIALIZED (SELECT doc, min(label) AS label FROM"
+            f" (SELECT doc, label FROM {prev} UNION ALL"
+            f" SELECT e.doc, l.label FROM ed e JOIN {prev} l ON l.doc = e.nb)"
+            f" u GROUP BY doc)"
+        )
+        ctes.append(
+            f"{cur} AS MATERIALIZED (SELECT c.doc, coalesce(p.label, c.label) AS label"
+            f" FROM {s} c LEFT JOIN {s} p ON p.doc = c.label)"
+        )
+    ctes.append(
+        f"core_lab AS (SELECT doc AS ikey, label AS cid"
+        f" FROM l{DB_CC_ROUNDS})"
+    )
+    ctes.append(
+        "nbc AS (SELECT p.ikey, min(cl.cid) AS nb_cid FROM pairs p"
+        " JOIN core_lab cl ON cl.ikey = p.bkey GROUP BY 1)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT i.ikey AS img_key,"
+        " CAST(CASE WHEN cl.cid IS NOT NULL THEN cl.cid"
+        " WHEN nbc.nb_cid IS NOT NULL THEN nbc.nb_cid"
+        " ELSE -1 END AS BIGINT) AS cluster,"
+        " CAST(CASE WHEN cl.cid IS NOT NULL THEN 2"
+        " WHEN nbc.nb_cid IS NOT NULL THEN 1 ELSE 0 END AS INT) AS role"
+        " FROM img i LEFT JOIN core_lab cl ON cl.ikey = i.ikey"
+        " LEFT JOIN nbc ON nbc.ikey = i.ikey"
+    )
+
+
+QUERIES["dbscan_label"] = (q_dbscan_label, _sql_dbscan_label())

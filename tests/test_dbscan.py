@@ -54,3 +54,88 @@ def test_dbscan_plan_no_cartesian_no_corpus_broadcast(spark, sf_dir):
     # the eps-graph and the core-semi ride shuffled-hash joins — the core
     # set is corpus-scale at 100 TB and must never be a broadcast build
     assert "ShuffledHashJoin" in plan
+
+
+def test_dbscan_label_bounded_rounds_converged(spark, sf_dir):
+    """R=8 static propagation rounds reach the true fixpoint at fixture
+    scale: cluster ids equal the convergence-checked connected_components
+    labels (min reachable core id) for every core point."""
+    from osm_merge_spark.operators.components import connected_components
+
+    lab = geo7.q_dbscan_label(spark, sf_dir).cache()
+    try:
+        core = lab.where(F.col("role") == 2).select(
+            F.col("img_key"), F.col("cluster")
+        )
+        # rebuild the core-core edge list exactly as the query does
+        grid = geo7.CellGrid.for_radius(geo7.DB_EPS_M, max_abs_lat=45.0)
+        img = base.images_df(spark, sf_dir).select("ikey", "lon", "lat")
+        a = img.withColumn(
+            "__jcell",
+            F.explode(grid.ring1(grid.encode(F.col("lon"), F.col("lat")))),
+        )
+        b = img.select(
+            F.col("ikey").alias("bkey"),
+            F.col("lon").alias("blon"),
+            F.col("lat").alias("blat"),
+        ).withColumn("__jcell", grid.encode(F.col("blon"), F.col("blat")))
+        from osm_merge_spark.functions import geo as geof
+
+        pairs = (
+            a.join(b, "__jcell")
+            .where(F.col("ikey") != F.col("bkey"))
+            .where(
+                geof.haversine_m(
+                    F.col("lon"), F.col("lat"), F.col("blon"), F.col("blat")
+                )
+                <= F.lit(geo7.DB_EPS_M)
+            )
+            .select("ikey", "bkey")
+        )
+        core_keys = core.select(F.col("img_key").alias("ikey"))
+        ed = pairs.join(core_keys, "ikey", "left_semi").join(
+            core_keys.withColumnRenamed("ikey", "bkey"), "bkey", "left_semi"
+        )
+        cc = connected_components(ed, src="ikey", dst="bkey")
+        truth = core_keys.join(cc, core_keys.ikey == cc.doc, "left").select(
+            F.col("ikey").alias("img_key"),
+            F.coalesce(F.col("cluster_id"), F.col("ikey")).alias("t_cluster"),
+        )
+        diff = (
+            core.join(truth, "img_key")
+            .where(F.col("cluster") != F.col("t_cluster"))
+            .count()
+        )
+        assert diff == 0
+    finally:
+        lab.unpersist()
+
+
+def test_dbscan_label_roles_match_core_and_noise_semantics(spark, sf_dir):
+    """dbscan_label's role column equals dbscan_core's; noise ⟺ cluster
+    -1; every border/core cluster id is a core point's id."""
+    lab = geo7.q_dbscan_label(spark, sf_dir).cache()
+    try:
+        roles = geo7.q_dbscan_core(spark, sf_dir).select("img_key", "role")
+        mism = (
+            lab.select("img_key", F.col("role").alias("r2"))
+            .join(roles, "img_key")
+            .where(F.col("role") != F.col("r2"))
+            .count()
+        )
+        assert mism == 0
+        assert lab.where(
+            (F.col("role") == 0) != (F.col("cluster") == -1)
+        ).count() == 0
+        core_ids = lab.where(F.col("role") == 2).select(
+            F.col("img_key").alias("cluster")
+        )
+        dangling = (
+            lab.where(F.col("role") != 0)
+            .select("cluster")
+            .join(core_ids, "cluster", "left_anti")
+            .count()
+        )
+        assert dangling == 0
+    finally:
+        lab.unpersist()
