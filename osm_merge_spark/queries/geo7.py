@@ -733,59 +733,14 @@ DB_MINPTS = 4                 # neighbors excluding self
 
 
 def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grid = CellGrid.for_radius(DB_EPS_M, max_abs_lat=45.0)
+    from ..operators.density import dbscan_classify
+
     img = base.images_df(spark, sf_dir).select("ikey", "lon", "lat")
-
-    a = img.withColumn(
-        "__jcell",
-        F.explode(grid.ring1(grid.encode(F.col("lon"), F.col("lat")))),
-    )
-    b = img.select(
-        F.col("ikey").alias("bkey"),
-        F.col("lon").alias("blon"),
-        F.col("lat").alias("blat"),
-    ).withColumn("__jcell", grid.encode(F.col("blon"), F.col("blat")))
-
-    pairs = (
-        a.join(b.hint("shuffle_hash"), "__jcell")
-        .where(F.col("ikey") != F.col("bkey"))
-        .where(
-            geo.haversine_m(
-                F.col("lon"), F.col("lat"), F.col("blon"), F.col("blat")
-            )
-            <= F.lit(DB_EPS_M)
-        )
-        .select("ikey", "bkey")
-    )
-
-    cnt = pairs.groupBy("ikey").agg(F.count("*").alias("n_eps"))
-    core = cnt.where(F.col("n_eps") >= F.lit(DB_MINPTS)).select(
-        F.col("ikey").alias("bkey")
-    )
-    # border candidates: any point with ≥1 CORE neighbor (semi join keeps
-    # the pair stream slim; distinct collapses multi-core-neighbor points)
-    has_core_nb = (
-        pairs.join(core.hint("shuffle_hash"), "bkey", "left_semi")
-        .select("ikey")
-        .distinct()
-        .withColumn("__hc", F.lit(1))
-    )
-
-    return (
-        # both attach sides are corpus-keyed (one row per labeled image at
-        # worst) — shuffled-hash, never SMJ's two full sorts
-        img.select("ikey")
-        .join(cnt.hint("shuffle_hash"), "ikey", "left")
-        .join(has_core_nb.hint("shuffle_hash"), "ikey", "left")
-        .select(
-            F.col("ikey").alias("img_key"),
-            F.coalesce(F.col("n_eps"), F.lit(0)).cast("long").alias("n_eps"),
-            F.when(F.coalesce(F.col("n_eps"), F.lit(0)) >= DB_MINPTS, 2)
-            .when(F.col("__hc") == 1, 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("role"),
-        )
+    return dbscan_classify(
+        img, eps_m=DB_EPS_M, min_pts=DB_MINPTS, key="ikey",
+        max_abs_lat=45.0,
+    ).select(
+        F.col("ikey").alias("img_key"), "n_eps", "role"
     )
 
 
@@ -849,29 +804,11 @@ DB_CC_ROUNDS = 8
 
 
 def q_dbscan_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.density import eps_pairs
+
     grid = CellGrid.for_radius(DB_EPS_M, max_abs_lat=45.0)
     img = base.images_df(spark, sf_dir).select("ikey", "lon", "lat")
-
-    a = img.withColumn(
-        "__jcell",
-        F.explode(grid.ring1(grid.encode(F.col("lon"), F.col("lat")))),
-    )
-    b = img.select(
-        F.col("ikey").alias("bkey"),
-        F.col("lon").alias("blon"),
-        F.col("lat").alias("blat"),
-    ).withColumn("__jcell", grid.encode(F.col("blon"), F.col("blat")))
-    pairs = (
-        a.join(b.hint("shuffle_hash"), "__jcell")
-        .where(F.col("ikey") != F.col("bkey"))
-        .where(
-            geo.haversine_m(
-                F.col("lon"), F.col("lat"), F.col("blon"), F.col("blat")
-            )
-            <= F.lit(DB_EPS_M)
-        )
-        .select("ikey", "bkey")
-    )
+    pairs = eps_pairs(img, grid, DB_EPS_M, key="ikey")
 
     cnt = pairs.groupBy("ikey").agg(F.count("*").alias("n_eps"))
     core = cnt.where(F.col("n_eps") >= F.lit(DB_MINPTS)).select("ikey")
