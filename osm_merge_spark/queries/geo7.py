@@ -948,3 +948,71 @@ def _sql_dbscan_label() -> str:
 
 
 QUERIES["dbscan_label"] = (q_dbscan_label, _sql_dbscan_label())
+
+
+# ---------------------------------------------------------------------------
+# coverage_gini — coverage EQUITY in one number: the Gini coefficient of
+# per-tile image counts (0 = perfectly even coverage, →1 = everything
+# piled in a few tiles). Capture planners use exactly this to justify
+# re-tasking: hotspot_cells says WHERE the pile-ups are, coverage_corr says
+# what they correlate with, this says HOW UNEQUAL the whole map is — one
+# auditable scalar per release to trend.
+#
+# Integer-exact by the classic rank identity on sorted counts:
+#   G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x),   i = 1..n ascending
+# every term is int64; the final division is truncating (num ≥ 0, and
+# Spark `div` / DuckDB `//` agree on non-negatives), published as gini_e6.
+#
+# Scale shape: the corpus collapses to ≤|raster| rows in ONE map-side-
+# combined hash agg (the only corpus-scale stage); the rank window then
+# runs on a RASTER-BOUNDED table — bound pinned by
+# tests/test_dbscan.py::test_coverage_gini_raster_bound, the same
+# bounded-window waiver discipline as hull_cells — and the final Gini is
+# a 1-row agg. Nothing corpus-scale sorts, joins, or broadcasts.
+# ---------------------------------------------------------------------------
+GINI_TILE_M = 2000.0
+
+
+def q_coverage_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    img = base.images_df(spark, sf_dir)
+    tx = F.floor(geo.mercator_x(F.col("lon")) / F.lit(GINI_TILE_M))
+    ty = F.floor(geo.mercator_y(F.col("lat")) / F.lit(GINI_TILE_M))
+    cells = img.groupBy(
+        tx.cast("long").alias("tx"), ty.cast("long").alias("ty")
+    ).agg(F.count("*").alias("cnt"))
+
+    # rank window over the raster-bounded cell table (ties → tile key, so
+    # both engines rank identically)
+    w = Window.orderBy("cnt", "tx", "ty")
+    ranked = cells.withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("cnt").cast("long").alias("total_images"),
+        F.expr(
+            "CAST((2 * sum(i * cnt) - (count(*) + 1) * sum(cnt)) * 1000000"
+            " div (count(*) * sum(cnt)) AS BIGINT)"
+        ).alias("gini_e6"),
+    )
+
+
+def _sql_coverage_gini() -> str:
+    size = geo.dlit(GINI_TILE_M)
+    tx = f"CAST(floor(({geo.mercator_x_sql('lon')}) / {size}) AS BIGINT)"
+    ty = f"CAST(floor(({geo.mercator_y_sql('lat')}) / {size}) AS BIGINT)"
+    return (
+        f"WITH img AS ({base.IMAGES_SQL}), "
+        f"cells AS (SELECT {tx} AS tx, {ty} AS ty, count(*) AS cnt"
+        " FROM img GROUP BY 1, 2), "
+        "ranked AS (SELECT cnt, CAST(row_number() OVER"
+        " (ORDER BY cnt, tx, ty) AS BIGINT) AS i FROM cells) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_cells,"
+        " CAST(sum(cnt) AS BIGINT) AS total_images,"
+        " CAST((2 * sum(i * cnt) - (count(*) + 1) * sum(cnt)) * 1000000"
+        " // (count(*) * sum(cnt)) AS BIGINT) AS gini_e6"
+        " FROM ranked"
+    )
+
+
+QUERIES["coverage_gini"] = (q_coverage_gini, _sql_coverage_gini())

@@ -139,3 +139,32 @@ def test_dbscan_label_roles_match_core_and_noise_semantics(spark, sf_dir):
         assert dangling == 0
     finally:
         lab.unpersist()
+
+
+def test_coverage_gini_raster_bound_and_range(spark, sf_dir):
+    """The rank window's input is raster-bounded (≤ box-area / tile²), not
+    corpus-bounded — the waiver condition for its single-partition window —
+    and the Gini lands in [0, 1e6) with exact totals."""
+    import math
+
+    from osm_merge_spark.functions.geo import WEB_MERCATOR_R as R
+
+    def merc_x(lon):
+        return R * math.radians(lon)
+
+    def merc_y(lat):
+        return R * math.log(math.tan(math.pi / 4.0 + math.radians(lat) / 2.0))
+
+    row = geo7.q_coverage_gini(spark, sf_dir).collect()[0]
+    # theoretical raster bound: AOI box (+ the far class's +0.08° spill) in
+    # mercator meters over the tile size, per axis
+    mx = merc_x(base.LON_MAX + 0.1) - merc_x(base.LON_MIN)
+    my = merc_y(base.LAT_MAX + 0.1) - merc_y(base.LAT_MIN)
+    bound = (math.ceil(mx / geo7.GINI_TILE_M) + 2) * (
+        math.ceil(my / geo7.GINI_TILE_M) + 2
+    )
+    assert 0 < row["n_cells"] <= bound
+    assert row["total_images"] == base.images_df(spark, sf_dir).count()
+    assert 0 <= row["gini_e6"] < 1_000_000
+    # the fixture is genuinely unequal (hot cluster + per-part clumps)
+    assert row["gini_e6"] > 200_000
