@@ -29,6 +29,10 @@ WAIVED = {
     # rows (NOT corpus rows) feed the all-triples test — bound pinned by
     # tests/test_hull_cells.py::test_candidate_bound_is_lattice_not_corpus
     "hull_cells": "CARTESIAN",
+    # rank window over the per-tile count table: input is raster-bounded
+    # (≤ box-area/tile² cells, NOT corpus rows) — bound pinned by
+    # tests/test_dbscan.py::test_coverage_gini_raster_bound_and_range
+    "coverage_gini": "NOPART-WINDOW",
 }
 
 
