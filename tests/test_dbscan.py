@@ -168,3 +168,40 @@ def test_coverage_gini_raster_bound_and_range(spark, sf_dir):
     assert 0 <= row["gini_e6"] < 1_000_000
     # the fixture is genuinely unequal (hot cluster + per-part clumps)
     assert row["gini_e6"] > 200_000
+
+
+def test_dbscan_delta_matches_batch_and_keeps_locality(spark, sf_dir):
+    """The incremental result equals the batch classification row-for-row
+    (the oracle also pins this vs DuckDB), and the spliced 'keep' region is
+    genuinely non-trivial — the maintenance isn't a disguised recompute."""
+    from osm_merge_spark.operators.density import dbscan_classify
+
+    img = base.images_df(spark, sf_dir).select("ikey", "lon", "lat")
+    batch = dbscan_classify(
+        img, eps_m=geo7.DB_EPS_M, min_pts=geo7.DB_MINPTS, key="ikey",
+        max_abs_lat=45.0,
+    ).select(
+        F.col("ikey").alias("img_key"), "n_eps", "role"
+    )
+    incr = geo7.q_dbscan_delta(spark, sf_dir)
+    assert (
+        incr.exceptAll(batch).count() == 0
+        and batch.exceptAll(incr).count() == 0
+    )
+    # locality: with a 1-in-13 uniform delta (worst case) SOME of the
+    # corpus must still ride the keep path untouched
+    grid = geo7.CellGrid.for_radius(geo7.DB_EPS_M, max_abs_lat=45.0)
+    full = img.withColumn("cell", grid.encode(F.col("lon"), F.col("lat")))
+    delta_cells = full.where(
+        F.col("ikey") % geo7.DB_DELTA_MOD == 0
+    ).select("cell").distinct()
+    offs = F.array(
+        *[F.lit(o).cast("long") for o in geo7._ring_k_offsets(grid, 2)]
+    )
+    aff2 = delta_cells.select(
+        F.explode(F.transform(offs, lambda o: o + F.col("cell"))).alias(
+            "cell"
+        )
+    ).distinct()
+    kept = full.join(aff2, "cell", "left_anti").count()
+    assert kept > 0
